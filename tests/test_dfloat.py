@@ -66,7 +66,12 @@ def test_df_pow_pq_exponents(p):
 
     got = _val(jax.jit(f)(x))
     want = x.astype(np.float64) ** p
-    ok = want > 1e-37  # above f32 normal range
-    assert np.abs(got[ok] / want[ok] - 1).max() < 1e-10
-    # below f32 range the pair must flush to (sub)normal-zero territory
-    assert np.all(np.abs(got[~ok]) <= 1.2e-38)
+    strict = want > 1e-30  # lo limb stays in f32 normal range
+    assert np.abs(got[strict] / want[strict] - 1).max() < 1e-10
+    # tiny results: lo limb underflows, plain-f32 accuracy remains
+    loose = (want > 1e-37) & ~strict
+    if loose.any():
+        assert np.abs(got[loose] / want[loose] - 1).max() < 2e-7
+    under = want <= 1e-37
+    if under.any():
+        assert np.all(np.abs(got[under]) <= 1.2e-38)
