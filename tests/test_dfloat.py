@@ -66,9 +66,9 @@ def test_df_pow_pq_exponents(p):
 
     got = _val(jax.jit(f)(x))
     want = x.astype(np.float64) ** p
-    strict = want > 1e-30  # lo limb stays in f32 normal range
+    strict = want > 1e-20  # the codec's PQ signals live in [7e-7, 1]
     assert np.abs(got[strict] / want[strict] - 1).max() < 1e-10
-    # tiny results: lo limb underflows, plain-f32 accuracy remains
+    # tiny results: lo limb degrades, plain-f32 accuracy remains
     loose = (want > 1e-37) & ~strict
     if loose.any():
         assert np.abs(got[loose] / want[loose] - 1).max() < 2e-7
