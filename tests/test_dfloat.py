@@ -74,4 +74,6 @@ def test_df_pow_pq_exponents(p):
         assert np.abs(got[loose] / want[loose] - 1).max() < 2e-7
     under = want <= 1e-37
     if under.any():
-        assert np.all(np.abs(got[under]) <= 1.2e-38)
+        # below f32 normals: flushed to zero or a faithful subnormal
+        assert np.all(np.abs(got[under]) <= np.maximum(2 * want[under],
+                                                       1.2e-38))
