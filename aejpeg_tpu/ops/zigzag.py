@@ -1,0 +1,66 @@
+"""Zigzag coefficient ordering.
+
+Index tables are generated host-side once per block size (reference
+algorithm: src/jpeg/jpeg.py:726-766) and applied on device as static gathers,
+which XLA fuses into the surrounding quantize/pack kernels.
+"""
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def zigzag_indices(size: int) -> np.ndarray:
+    """Indices that flatten a size x size block in zigzag order.
+
+    Walks the standard JPEG zigzag: up-right diagonals from (0,0), bouncing
+    off the edges (matches src/jpeg/jpeg.py:726-766 bit-for-bit).
+    """
+    if not isinstance(size, int) or size < 0:
+        raise ValueError("Block size must be a non-negative integer")
+    out = np.empty(size * size, dtype=np.int32)
+    row = col = 0
+    for i in range(size * size):
+        out[i] = row * size + col
+        if (row + col) % 2 == 0:  # moving up-right
+            if col == size - 1:
+                row += 1
+            elif row == 0:
+                col += 1
+            else:
+                row -= 1
+                col += 1
+        else:  # moving down-left
+            if row == size - 1:
+                col += 1
+            elif col == 0:
+                row += 1
+            else:
+                row += 1
+                col -= 1
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def inverse_zigzag_indices(size: int) -> np.ndarray:
+    """Permutation that scatters a zigzag vector back to raster order."""
+    zz = zigzag_indices(size)
+    inv = np.empty_like(zz)
+    inv[zz] = np.arange(size * size, dtype=np.int32)
+    return inv
+
+
+def zigzag_gather(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(N, s, s) -> (N, s*s) in zigzag order (device-side static gather)."""
+    n, s, _ = blocks.shape
+    idx = jnp.asarray(zigzag_indices(s))
+    return blocks.reshape(n, s * s)[:, idx]
+
+
+def zigzag_scatter(vectors: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N, s*s) zigzag vectors -> (N, s, s) raster blocks."""
+    n = vectors.shape[0]
+    idx = jnp.asarray(inverse_zigzag_indices(size))
+    return vectors[:, idx].reshape(n, size, size)
