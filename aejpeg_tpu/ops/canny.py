@@ -1,0 +1,324 @@
+"""Edge detection stack (CLAHE -> Gaussian -> bilateral -> Canny).
+
+Replicates the reference preprocessing + Canny pipeline
+(src/jpeg/edge_detection.py:28-86) as fused jnp ops:
+
+  1. scale x255 -> uint8 (wrapping cast parity: negative chroma wraps)
+  2. CLAHE, clip 0.75, 4x4 tiles
+  3. 3x3 Gaussian blur (sigma auto), uint8 rounding
+  4. bilateral filter d=5, sigma_color=75, sigma_space=75, uint8 rounding
+  5. thresholds = 10th/30th percentile of blurred image
+  6. Canny: Sobel aperture 3, L2 gradient, NMS, hysteresis
+
+Output is float32 {0, 1}.  Each stage is golden-tested against OpenCV in
+tests/test_canny.py; stage semantics follow OpenCV's uint8 implementations
+(fixed-point rounding where OpenCV uses it).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------- uint8 cast
+def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
+    """(img * 255).astype(np.uint8) with C-cast wrap-around parity: numpy's
+    float->uint8 cast truncates toward zero and wraps negatives
+    (src/jpeg/edge_detection.py:70 feeds chroma layers that go negative)."""
+    scaled = img * 255.0
+    trunc = jnp.trunc(scaled)
+    wrapped = trunc.astype(jnp.int32).astype(jnp.uint8)
+    return wrapped
+
+
+# -------------------------------------------------------------------- CLAHE
+def _clahe_luts(padded: jnp.ndarray, th: int, tw: int, gh: int, gw: int,
+                clip_limit: float) -> jnp.ndarray:
+    """Per-tile LUTs, OpenCV semantics: histogram clip + redistribution
+    (residual spread with step = histSize/residual), then scaled cumsum with
+    round-half-away rounding."""
+    tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(gh * gw, th * tw)
+    # 256-bin histograms per tile
+    one_hot = (tiles[:, :, None] == jnp.arange(256, dtype=jnp.uint8)
+               [None, None, :])
+    hist = one_hot.sum(axis=1).astype(jnp.int32)            # (T, 256)
+
+    tile_area = th * tw
+    clip = max(int(clip_limit * tile_area / 256), 1)
+    clipped = jnp.minimum(hist, clip)
+    excess = (hist - clipped).sum(axis=1)                    # (T,)
+    batch = excess // 256
+    residual = excess - batch * 256
+    h2 = clipped + batch[:, None]
+    # residual distribution: bins 0, step, 2*step, ... get +1, where
+    # step = max(256 // residual, 1) (OpenCV clahe.cpp)
+    step = jnp.maximum(jnp.where(residual > 0, 256 // jnp.maximum(residual, 1),
+                                 256), 1)
+    idx = jnp.arange(256, dtype=jnp.int32)[None, :]
+    gets_one = (idx % step[:, None] == 0) & (
+        idx // step[:, None] < residual[:, None])
+    h3 = h2 + gets_one.astype(jnp.int32)
+
+    lut_scale = 255.0 / tile_area
+    csum = jnp.cumsum(h3, axis=1)
+    # OpenCV: saturate_cast<uchar>(sum * lutScale) with round-half-away
+    lut = jnp.clip(jnp.floor(csum * lut_scale + 0.5), 0, 255)
+    return lut.reshape(gh, gw, 256).astype(jnp.float32)
+
+
+def clahe(img_u8: jnp.ndarray, clip_limit: float = 0.75,
+          grid=(4, 4)) -> jnp.ndarray:
+    """OpenCV-style CLAHE on uint8: pad to tile multiple (BORDER_REFLECT_101),
+    per-tile clipped-histogram LUTs, bilinear LUT interpolation."""
+    h, w = img_u8.shape
+    gh, gw = grid
+    th = -(-h // gh)
+    tw = -(-w // gw)
+    ph, pw = th * gh - h, tw * gw - w
+    padded = _reflect101_pad(img_u8, 0, ph, 0, pw)
+    luts = _clahe_luts(padded, th, tw, gh, gw, clip_limit)   # (gh, gw, 256)
+
+    # bilinear interpolation between the 4 surrounding tile LUTs
+    yy = jnp.arange(h, dtype=jnp.float32)
+    xx = jnp.arange(w, dtype=jnp.float32)
+    ty = yy / th - 0.5
+    tx = xx / tw - 0.5
+    y0 = jnp.floor(ty).astype(jnp.int32)
+    x0 = jnp.floor(tx).astype(jnp.int32)
+    fy = ty - y0
+    fx = tx - x0
+    y0c = jnp.clip(y0, 0, gh - 1)
+    y1c = jnp.clip(y0 + 1, 0, gh - 1)
+    x0c = jnp.clip(x0, 0, gw - 1)
+    x1c = jnp.clip(x0 + 1, 0, gw - 1)
+
+    v = img_u8.astype(jnp.int32)
+    ym = y0c[:, None]
+    y1m = y1c[:, None]
+    xm = x0c[None, :]
+    x1m = x1c[None, :]
+    lu = luts[ym, xm, v]
+    ru = luts[ym, x1m, v]
+    lb = luts[y1m, xm, v]
+    rb = luts[y1m, x1m, v]
+    fy2 = fy[:, None]
+    fx2 = fx[None, :]
+    top = lu * (1 - fx2) + ru * fx2
+    bot = lb * (1 - fx2) + rb * fx2
+    out = top * (1 - fy2) + bot * fy2
+    return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+
+
+# ------------------------------------------------------------------ padding
+def _reflect101_pad(img: jnp.ndarray, top: int, bottom: int, left: int,
+                    right: int) -> jnp.ndarray:
+    """OpenCV BORDER_REFLECT_101 padding (edge pixel not duplicated)."""
+    if top or bottom:
+        h = img.shape[0]
+        idx = _reflect101_indices(h, top, bottom)
+        img = img[idx, :]
+    if left or right:
+        w = img.shape[1]
+        idx = _reflect101_indices(w, left, right)
+        img = img[:, idx]
+    return img
+
+
+def _reflect101_indices(n: int, before: int, after: int) -> np.ndarray:
+    base = np.arange(-before, n + after)
+    if n == 1:
+        return np.zeros_like(base)
+    period = 2 * n - 2
+    m = np.mod(base, period)
+    return np.where(m < n, m, period - m)
+
+
+# ------------------------------------------------------------ gaussian blur
+@functools.lru_cache(maxsize=None)
+def _gaussian_kernel_u8(ksize: int) -> np.ndarray:
+    """OpenCV getGaussianKernel with sigma=0: sigma = 0.3*((k-1)*0.5-1)+0.8,
+    and for uint8 images OpenCV uses fixed-point coefficients (scale 2^8)."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x * x) / (2 * sigma * sigma))
+    k /= k.sum()
+    # fixed-point like OpenCV's FixedPtCast path for 8u
+    kf = np.round(k * 256).astype(np.int32)
+    return kf
+
+
+def gaussian_blur_u8(img_u8: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    """3x3 Gaussian on uint8 with OpenCV's 8-bit fixed-point arithmetic and
+    BORDER_REFLECT_101."""
+    kf = _gaussian_kernel_u8(ksize)  # int32, sums to 256
+    r = ksize // 2
+    padded = _reflect101_pad(img_u8.astype(jnp.int32), r, r, r, r)
+    # separable: rows then cols in integer arithmetic, divide once by 2^16
+    h = img_u8.shape[0]
+    w = img_u8.shape[1]
+    rowsum = jnp.zeros((h + 2 * r, w), jnp.int32)
+    for j in range(ksize):
+        rowsum = rowsum + int(kf[j]) * jax.lax.dynamic_slice(
+            padded, (0, j), (h + 2 * r, w))
+    out = jnp.zeros((h, w), jnp.int32)
+    for i in range(ksize):
+        out = out + int(kf[i]) * jax.lax.dynamic_slice(
+            rowsum, (i, 0), (h, w))
+    # OpenCV rounds with (x + (1<<15)) >> 16
+    out = (out + (1 << 15)) >> 16
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------- bilateral filter
+def bilateral_u8(img_u8: jnp.ndarray, d: int = 5, sigma_color: float = 75.0,
+                 sigma_space: float = 75.0) -> jnp.ndarray:
+    """OpenCV bilateralFilter for uint8 single-channel: radius = d//2,
+    space weights exp(-r^2/(2 sc^2)) over the disk r <= radius, color weights
+    exp(-diff^2/(2 scol^2)), float accumulation, round-half-away."""
+    radius = d // 2
+    gauss_color_coeff = -0.5 / (sigma_color * sigma_color)
+    gauss_space_coeff = -0.5 / (sigma_space * sigma_space)
+
+    offs = []
+    sw = []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            rr = math.sqrt(dy * dy + dx * dx)
+            if rr > radius:
+                continue
+            offs.append((dy, dx))
+            sw.append(math.exp(rr * rr * gauss_space_coeff))
+
+    # color weight LUT over absolute differences 0..255
+    diffs = np.arange(256, dtype=np.float64)
+    color_w = np.exp(diffs * diffs * gauss_color_coeff).astype(np.float32)
+    color_lut = jnp.asarray(color_w)
+
+    h, w = img_u8.shape
+    padded = _reflect101_pad(img_u8, radius, radius, radius, radius)
+    center = img_u8.astype(jnp.int32)
+    num = jnp.zeros((h, w), jnp.float32)
+    den = jnp.zeros((h, w), jnp.float32)
+    for (dy, dx), s_w in zip(offs, sw):
+        nb = jax.lax.dynamic_slice(padded, (dy + radius, dx + radius),
+                                   (h, w)).astype(jnp.int32)
+        wgt = np.float32(s_w) * color_lut[jnp.abs(nb - center)]
+        num = num + wgt * nb.astype(jnp.float32)
+        den = den + wgt
+    out = num / den
+    return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
+
+
+# ------------------------------------------------------------------- sobel
+def sobel_xy(img_u8: jnp.ndarray):
+    """Sobel dx, dy (aperture 3) on uint8 -> int32, BORDER_REFLECT_101
+    (OpenCV Canny's internal gradients)."""
+    p = _reflect101_pad(img_u8.astype(jnp.int32), 1, 1, 1, 1)
+    h, w = img_u8.shape
+
+    def sl(dy, dx):
+        return jax.lax.dynamic_slice(p, (dy + 1, dx + 1), (h, w))
+
+    # dx kernel [[-1,0,1],[-2,0,2],[-1,0,1]]
+    gx = (sl(-1, 1) - sl(-1, -1)) + 2 * (sl(0, 1) - sl(0, -1)) + \
+         (sl(1, 1) - sl(1, -1))
+    # dy kernel [[-1,-2,-1],[0,0,0],[1,2,1]]
+    gy = (sl(1, -1) - sl(-1, -1)) + 2 * (sl(1, 0) - sl(-1, 0)) + \
+         (sl(1, 1) - sl(-1, 1))
+    return gx, gy
+
+
+# ------------------------------------------------------------------- canny
+def _canny_from_gradients(gx: jnp.ndarray, gy: jnp.ndarray,
+                          low: jnp.ndarray, high: jnp.ndarray,
+                          l2: bool = True) -> jnp.ndarray:
+    """NMS + hysteresis, OpenCV semantics.
+
+    OpenCV L2 path: magnitude m = gx^2 + gy^2 (int), thresholds squared.
+    Sector logic uses |gy| * 2^15 compared against tan(22.5)/tan(67.5)
+    fixed-point multiples of |gx|.
+    """
+    mag = (gx * gx + gy * gy).astype(jnp.float32) if l2 else \
+        (jnp.abs(gx) + jnp.abs(gy)).astype(jnp.float32)
+
+    # sector selection in int32 (values exceed f32's exact-integer range)
+    ax = jnp.abs(gx)
+    ay = jnp.abs(gy) << 15
+    tg22 = np.int32(13573)  # round(tan(22.5deg) * 2^15) per OpenCV
+    tg67x = ax * np.int32(3 << 15)  # tan(67.5) = 2 + tan(22.5)
+
+    # neighbor magnitudes (border -> 0 so borders never survive NMS against
+    # missing neighbors; OpenCV pads the magnitude map with zeros)
+    def shift(m, dy, dx):
+        pm = jnp.pad(m, 1)
+        return jax.lax.dynamic_slice(pm, (1 + dy, 1 + dx), m.shape)
+
+    m0 = mag
+    horiz = (m0 > shift(m0, 0, -1)) & (m0 >= shift(m0, 0, 1))
+    vert = (m0 > shift(m0, -1, 0)) & (m0 >= shift(m0, 1, 0))
+    diag1 = (m0 > shift(m0, -1, -1)) & (m0 >= shift(m0, 1, 1))   # 135 deg
+    diag2 = (m0 > shift(m0, -1, 1)) & (m0 >= shift(m0, 1, -1))   # 45 deg
+
+    sector_h = ay < tg22 * ax                       # near-horizontal gradient
+    sector_v = ay > tg67x + tg22 * ax               # near-vertical
+    s_xor = (gx ^ gy) < 0                            # sign disagreement
+    nms = jnp.where(sector_h, horiz,
+                    jnp.where(sector_v, vert,
+                              jnp.where(s_xor, diag2, diag1)))
+
+    strong = nms & (mag > high)
+    weak = nms & (mag > low)
+
+    # hysteresis: propagate strong through weak (8-connected) to fixpoint
+    def body(state):
+        cur, _ = state
+        grown = cur
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                grown = grown | shift(cur, dy, dx)
+        new = weak & grown | cur
+        return new, jnp.any(new != cur)
+
+    def cond(state):
+        return state[1]
+
+    init = (strong, jnp.asarray(True))
+    final, _ = jax.lax.while_loop(cond, lambda s: body(s), init)
+    return final.astype(jnp.float32)
+
+
+def percentile_u8(img_u8: jnp.ndarray, q: float) -> jnp.ndarray:
+    """np.percentile(img, q) with linear interpolation, via a 256-bin
+    histogram (exact for uint8 data)."""
+    hist = jnp.zeros(256, jnp.int32).at[img_u8.astype(jnp.int32).ravel()].add(1)
+    csum = jnp.cumsum(hist)
+    n = img_u8.size
+    pos = jnp.float32(q / 100.0 * (n - 1))
+    k = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - k
+    # value at sorted index i = searchsorted(csum, i+1)
+    v0 = jnp.searchsorted(csum, k + 1, side="left")
+    v1 = jnp.searchsorted(csum, k + 2, side="left")
+    v1 = jnp.where(k + 1 < n, v1, v0)
+    return v0.astype(jnp.float32) * (1 - frac) + v1.astype(jnp.float32) * frac
+
+
+@jax.jit
+def canny(layer: jnp.ndarray) -> jnp.ndarray:
+    """Full reference edge stack on one float32 layer -> {0,1} float32
+    (src/jpeg/edge_detection.py:64-86)."""
+    u8 = to_uint8(layer)
+    eq = clahe(u8, 0.75, (4, 4))
+    blur = gaussian_blur_u8(eq, 3)
+    blur = bilateral_u8(blur, 5, 75.0, 75.0)
+    low = percentile_u8(blur, 10.0)
+    high = percentile_u8(blur, 30.0)
+    gx, gy = sobel_xy(blur)
+    # OpenCV L2gradient squares the thresholds
+    return _canny_from_gradients(gx, gy, low * low, high * high, l2=True)
