@@ -138,17 +138,27 @@ def _reflect101_indices(n: int, before: int, after: int) -> np.ndarray:
 
 
 # ------------------------------------------------------------ gaussian blur
+# OpenCV getGaussianKernel uses these fixed tables for ksize <= 7, sigma <= 0
+# (smoothing's "small_gaussian_tab") — NOT the sigma formula.
+_SMALL_GAUSSIAN = {
+    1: [1.0],
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+}
+
+
 @functools.lru_cache(maxsize=None)
 def _gaussian_kernel_u8(ksize: int) -> np.ndarray:
-    """OpenCV getGaussianKernel with sigma=0: sigma = 0.3*((k-1)*0.5-1)+0.8,
-    and for uint8 images OpenCV uses fixed-point coefficients (scale 2^8)."""
-    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
-    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
-    k = np.exp(-(x * x) / (2 * sigma * sigma))
-    k /= k.sum()
-    # fixed-point like OpenCV's FixedPtCast path for 8u
-    kf = np.round(k * 256).astype(np.int32)
-    return kf
+    """Fixed-point (x256) Gaussian coefficients as OpenCV uses for uint8."""
+    if ksize in _SMALL_GAUSSIAN:
+        k = np.asarray(_SMALL_GAUSSIAN[ksize], np.float64)
+    else:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+        x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+        k = np.exp(-(x * x) / (2 * sigma * sigma))
+        k /= k.sum()
+    return np.round(k * 256).astype(np.int32)
 
 
 def gaussian_blur_u8(img_u8: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
