@@ -42,10 +42,9 @@ def _clahe_luts(padded: jnp.ndarray, th: int, tw: int, gh: int, gw: int,
     round-half-away rounding."""
     tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
     tiles = tiles.reshape(gh * gw, th * tw)
-    # 256-bin histograms per tile
-    one_hot = (tiles[:, :, None] == jnp.arange(256, dtype=jnp.uint8)
-               [None, None, :])
-    hist = one_hot.sum(axis=1).astype(jnp.int32)            # (T, 256)
+    # 256-bin histograms per tile (Pallas: VMEM-resident compare-sums)
+    from .pallas_kernels import histogram256
+    hist = histogram256(tiles.astype(jnp.int32))            # (T, 256)
 
     tile_area = th * tw
     clip = max(int(clip_limit * tile_area / 256), 1)
@@ -70,10 +69,38 @@ def _clahe_luts(padded: jnp.ndarray, th: int, tw: int, gh: int, gw: int,
     return lut.reshape(gh, gw, 256).astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _clahe_tile_weights(h: int, w: int, th: int, tw: int, gh: int,
+                        gw: int) -> np.ndarray:
+    """(h, w, gh*gw) float32 bilinear weights of each tile LUT per pixel
+    (4 nonzero per pixel).  Host-precomputed per shape."""
+    ty = np.arange(h, dtype=np.float64) / th - 0.5
+    tx = np.arange(w, dtype=np.float64) / tw - 0.5
+    y0 = np.floor(ty).astype(np.int64)
+    x0 = np.floor(tx).astype(np.int64)
+    fy = ty - y0
+    fx = tx - x0
+    wts = np.zeros((h, w, gh * gw), np.float64)
+    yy = np.arange(h)
+    xx = np.arange(w)
+    for dy, wy in ((0, 1 - fy), (1, fy)):
+        yc = np.clip(y0 + dy, 0, gh - 1)
+        for dx, wx in ((0, 1 - fx), (1, fx)):
+            xc = np.clip(x0 + dx, 0, gw - 1)
+            t = yc[:, None] * gw + xc[None, :]
+            np.add.at(wts, (yy[:, None], xx[None, :], t),
+                      wy[:, None] * wx[None, :])
+    return wts.astype(np.float32)
+
+
 def clahe(img_u8: jnp.ndarray, clip_limit: float = 0.75,
           grid=(4, 4)) -> jnp.ndarray:
     """OpenCV-style CLAHE on uint8: pad to tile multiple (BORDER_REFLECT_101),
-    per-tile clipped-histogram LUTs, bilinear LUT interpolation."""
+    per-tile clipped-histogram LUTs, bilinear LUT interpolation.
+
+    TPU path: the per-pixel LUT lookup is a one-hot (HW, 256) bf16 matmul
+    against the (256, T) LUT matrix (MXU) followed by the precomputed
+    bilinear tile-weight contraction — per-lane gathers are ~50x slower."""
     h, w = img_u8.shape
     gh, gw = grid
     th = -(-h // gh)
@@ -82,34 +109,12 @@ def clahe(img_u8: jnp.ndarray, clip_limit: float = 0.75,
     padded = _reflect101_pad(img_u8, 0, ph, 0, pw)
     luts = _clahe_luts(padded, th, tw, gh, gw, clip_limit)   # (gh, gw, 256)
 
-    # bilinear interpolation between the 4 surrounding tile LUTs
-    yy = jnp.arange(h, dtype=jnp.float32)
-    xx = jnp.arange(w, dtype=jnp.float32)
-    ty = yy / th - 0.5
-    tx = xx / tw - 0.5
-    y0 = jnp.floor(ty).astype(jnp.int32)
-    x0 = jnp.floor(tx).astype(jnp.int32)
-    fy = ty - y0
-    fx = tx - x0
-    y0c = jnp.clip(y0, 0, gh - 1)
-    y1c = jnp.clip(y0 + 1, 0, gh - 1)
-    x0c = jnp.clip(x0, 0, gw - 1)
-    x1c = jnp.clip(x0 + 1, 0, gw - 1)
-
-    v = img_u8.astype(jnp.int32)
-    ym = y0c[:, None]
-    y1m = y1c[:, None]
-    xm = x0c[None, :]
-    x1m = x1c[None, :]
-    lu = luts[ym, xm, v]
-    ru = luts[ym, x1m, v]
-    lb = luts[y1m, xm, v]
-    rb = luts[y1m, x1m, v]
-    fy2 = fy[:, None]
-    fx2 = fx[None, :]
-    top = lu * (1 - fx2) + ru * fx2
-    bot = lb * (1 - fx2) + rb * fx2
-    out = top * (1 - fy2) + bot * fy2
+    oh = jax.nn.one_hot(img_u8.astype(jnp.int32), 256, dtype=jnp.bfloat16)
+    lut_mat = luts.reshape(gh * gw, 256).astype(jnp.bfloat16)  # exact <= 255
+    contrib = jnp.einsum("hwb,tb->hwt", oh, lut_mat,
+                         preferred_element_type=jnp.float32)
+    wts = jnp.asarray(_clahe_tile_weights(h, w, th, tw, gh, gw))
+    out = jnp.einsum("hwt,hwt->hw", wts, contrib)
     return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
 
 
@@ -203,21 +208,21 @@ def bilateral_u8(img_u8: jnp.ndarray, d: int = 5, sigma_color: float = 75.0,
             offs.append((dy, dx))
             sw.append(math.exp(rr * rr * gauss_space_coeff))
 
-    # color weight LUT over absolute differences 0..255
-    diffs = np.arange(256, dtype=np.float64)
-    color_w = np.exp(diffs * diffs * gauss_color_coeff).astype(np.float32)
-    color_lut = jnp.asarray(color_w)
-
     h, w = img_u8.shape
     padded = _reflect101_pad(img_u8, radius, radius, radius, radius)
-    center = img_u8.astype(jnp.int32)
+    center = img_u8.astype(jnp.float32)
     num = jnp.zeros((h, w), jnp.float32)
     den = jnp.zeros((h, w), jnp.float32)
+    # Color weights computed arithmetically on the VPU: a 256-entry LUT
+    # gather per tap is ~50x slower on TPU than exp (transcendental ops are
+    # cheap, per-lane gathers are not).
+    cc = np.float32(gauss_color_coeff)
     for (dy, dx), s_w in zip(offs, sw):
         nb = jax.lax.dynamic_slice(padded, (dy + radius, dx + radius),
-                                   (h, w)).astype(jnp.int32)
-        wgt = np.float32(s_w) * color_lut[jnp.abs(nb - center)]
-        num = num + wgt * nb.astype(jnp.float32)
+                                   (h, w)).astype(jnp.float32)
+        d = nb - center
+        wgt = np.float32(s_w) * jnp.exp(d * d * cc)
+        num = num + wgt * nb
         den = den + wgt
     out = num / den
     return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
@@ -303,12 +308,7 @@ def _canny_from_gradients(gx: jnp.ndarray, gy: jnp.ndarray,
     return final.astype(jnp.float32)
 
 
-def percentile_u8(img_u8: jnp.ndarray, q: float) -> jnp.ndarray:
-    """np.percentile(img, q) with linear interpolation, via a 256-bin
-    histogram (exact for uint8 data)."""
-    hist = jnp.zeros(256, jnp.int32).at[img_u8.astype(jnp.int32).ravel()].add(1)
-    csum = jnp.cumsum(hist)
-    n = img_u8.size
+def _percentile_from_hist(csum: jnp.ndarray, n: int, q: float) -> jnp.ndarray:
     pos = jnp.float32(q / 100.0 * (n - 1))
     k = jnp.floor(pos).astype(jnp.int32)
     frac = pos - k
@@ -319,16 +319,27 @@ def percentile_u8(img_u8: jnp.ndarray, q: float) -> jnp.ndarray:
     return v0.astype(jnp.float32) * (1 - frac) + v1.astype(jnp.float32) * frac
 
 
+def percentile_u8(img_u8: jnp.ndarray, q: float) -> jnp.ndarray:
+    """np.percentile(img, q) with linear interpolation, via a 256-bin
+    histogram (exact for uint8 data)."""
+    from .pallas_kernels import histogram256
+    hist = histogram256(img_u8.astype(jnp.int32).reshape(1, -1))[0]
+    return _percentile_from_hist(jnp.cumsum(hist), img_u8.size, q)
+
+
 @jax.jit
 def canny(layer: jnp.ndarray) -> jnp.ndarray:
     """Full reference edge stack on one float32 layer -> {0,1} float32
     (src/jpeg/edge_detection.py:64-86)."""
+    from .pallas_kernels import histogram256
     u8 = to_uint8(layer)
     eq = clahe(u8, 0.75, (4, 4))
     blur = gaussian_blur_u8(eq, 3)
     blur = bilateral_u8(blur, 5, 75.0, 75.0)
-    low = percentile_u8(blur, 10.0)
-    high = percentile_u8(blur, 30.0)
+    csum = jnp.cumsum(
+        histogram256(blur.astype(jnp.int32).reshape(1, -1))[0])
+    low = _percentile_from_hist(csum, blur.size, 10.0)
+    high = _percentile_from_hist(csum, blur.size, 30.0)
     gx, gy = sobel_xy(blur)
     # OpenCV L2gradient squares the thresholds
     return _canny_from_gradients(gx, gy, low * low, high * high, l2=True)

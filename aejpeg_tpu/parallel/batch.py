@@ -1,0 +1,137 @@
+"""Fully-jittable device encode step + sharded multi-chip batch step.
+
+`device_encode_uniform` is the codec's "forward step": the entire device
+side of encode for a uniform block grid — color convert, chroma downsample,
+the Canny edge stack, normalization, Morton-ordered block extraction,
+DCT matmuls, quantization and zigzag packing — one XLA program, no host
+round-trips.  Uniform grids (block_size_min == max) produce exactly the
+container's preorder coefficient order, so this IS the production fast path
+for BASELINE config #1; the quadtree-active path reuses every stage but
+inserts host tree planning between the edge maps and the bucket gathers.
+
+`sharded_encode_step` scales it over a (data, block) mesh: images are
+data-parallel over 'data', each image's block batch is sharded over 'block'
+(the ICI axis), and per-layer coefficient statistics are reduced with psum
+collectives.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from .. import color
+from ..config import CodecConfig
+from ..ops import dct, quant, zigzag
+from ..ops.canny import canny
+from ..ops.resize import resize2d
+from ..codec.quadtree import _interleave_bits
+from ..utils.mathutils import root_size_for
+
+
+@functools.lru_cache(maxsize=None)
+def _uniform_grid_order(h: int, w: int, s: int) -> np.ndarray:
+    """Morton (preorder) order of the in-bounds s-blocks of an (h, w) layer,
+    as flat raster indices into the (gh, gw) block grid."""
+    root = root_size_for(h, w)
+    g = root // s
+    bi, bj = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+    exists = (bi * s < h) & (bj * s < w)
+    bi, bj = bi[exists], bj[exists]
+    morton = _interleave_bits(bi, bj, int(g).bit_length())
+    order = np.argsort(morton, kind="stable")
+    gi, gj = bi[order], bj[order]
+    gw = -(-w // s)
+    return (gi * gw + gj).astype(np.int32)
+
+
+def _extract_uniform_blocks(layer: jnp.ndarray, s: int) -> jnp.ndarray:
+    """(h, w) -> (n_blocks, s, s) in Morton/preorder order, reflect-padding
+    partial boundary blocks (np.pad 'reflect' parity)."""
+    h, w = layer.shape
+    gh, gw = -(-h // s), -(-w // s)
+    ph, pw = gh * s - h, gw * s - w
+    if ph or pw:
+        # np.pad 'reflect': indices n-2, n-3, ... (no edge duplicate)
+        ridx = np.concatenate([np.arange(h),
+                               h - 2 - np.arange(ph)]).astype(np.int32) \
+            if ph else np.arange(h, dtype=np.int32)
+        cidx = np.concatenate([np.arange(w),
+                               w - 2 - np.arange(pw)]).astype(np.int32) \
+            if pw else np.arange(w, dtype=np.int32)
+        layer = layer[ridx][:, cidx]
+    blocks = layer.reshape(gh, s, gw, s).transpose(0, 2, 1, 3)
+    blocks = blocks.reshape(gh * gw, s, s)
+    return blocks[jnp.asarray(_uniform_grid_order(h, w, s))]
+
+
+def device_encode_uniform(rgb: jnp.ndarray, space: str, block: int = 8,
+                          quality_range: Tuple[int, int] = (50, 50),
+                          with_edges: bool = True):
+    """One-image device encode (uniform grid).  Returns a dict with per-layer
+    int32 zigzag coefficient planes (preorder) and the edge maps."""
+    cfg = CodecConfig(space, quality_range, (block, block))
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    shapes = cfg.layer_shapes((h, w))
+    mids, scales = color.normalization_constants(space)
+
+    converted = color.convert("sRGB", space, rgb)
+    out = {"coeffs": [], "edges": []}
+    for i in range(3):
+        layer = resize2d(converted[..., i], shapes[i], "area")
+        if with_edges:
+            out["edges"].append(canny(layer))
+        norm = (layer - mids[i]) * scales[i]
+        blocks = _extract_uniform_blocks(norm, block)
+        coeffs = dct.dct2(blocks)
+        table = quant.quantization_matrix(
+            np.asarray(cfg.quantization_matrices[i]), block,
+            cfg.quality_for(block))
+        hi, lo = quant.reciprocal_table(table)
+        levels = quant.quantize(coeffs, jnp.asarray(hi), jnp.asarray(lo))
+        out["coeffs"].append(zigzag.zigzag_gather(levels))
+    return out
+
+
+def sharded_encode_step(mesh, space: str = "YCoCg", block: int = 8):
+    """Build the jitted multi-chip batch encode step for `mesh`.
+
+    Input:  (B, H, W, 3) float32, B divisible by mesh 'data' size.
+    Output: per-layer coefficient planes sharded (data, block) +
+            psum-reduced nonzero-coefficient counts (the rate statistic the
+            scheduler uses for continuous batching).
+    """
+    n_block = mesh.shape["block"]
+
+    def step(batch):
+        def per_image(img):
+            enc = device_encode_uniform(img, space, block, with_edges=True)
+            planes = []
+            for c in enc["coeffs"]:
+                n, k = c.shape
+                pad = (-n) % n_block
+                c = jnp.pad(c, ((0, pad), (0, 0)))
+                planes.append(c.reshape(n_block, (n + pad) // n_block, k))
+            return planes
+
+        local = jax.vmap(per_image)(batch)         # [(Bl, nb, chunk, k)] x 3
+        # keep only this device's block shard
+        bidx = jax.lax.axis_index("block")
+        shards = [jax.lax.dynamic_index_in_dim(p, bidx, axis=1, keepdims=True)
+                  for p in local]
+        nonzero = sum(jnp.sum(s != 0) for s in shards)
+        nonzero = jax.lax.psum(nonzero, axis_name="block")
+        nonzero = jax.lax.psum(nonzero, axis_name="data")
+        return tuple(shards), nonzero
+
+    in_specs = P("data")
+    out_specs = (tuple(P("data", "block") for _ in range(3)), P())
+    # check_vma=False: the Canny hysteresis while_loop carries a replicated
+    # convergence flag whose varying-axes type the checker can't unify.
+    fn = shard_map(step, mesh=mesh, in_specs=(in_specs,),
+                   out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
