@@ -153,16 +153,22 @@ class Codec:
         tables = self._quant_tables()
         mn, mx = cfg.block_size_range
 
+        import zlib as _zlib
         writer = ContainerWriter(ContainerMetadata(
             height=h, width=w, num_layers=3, color_space=cfg.color_space,
             quality_min=cfg.quality_range[0], quality_max=cfg.quality_range[1],
-            block_size_min=mn, block_size_max=mx, extension=img.extension))
+            block_size_min=mn, block_size_max=mx, extension=img.extension),
+            compress=lambda b: _zlib.compress(b, level=cfg.entropy_level))
 
         for i in range(3):
             layer = layers[i]
             lh, lw = layer_shapes[i]
-            edge = np.asarray(self.edge_fn(layer))
-            plan = qt.build_plan(edge, mx, mn)
+            if mn == mx:
+                # uniform grid: the tree never consults edges; cached plan
+                plan = qt.uniform_plan(lh, lw, mn)
+            else:
+                edge = np.asarray(self.edge_fn(layer))
+                plan = qt.build_plan(edge, mx, mn)
 
             norm = (layer - mids[i]) * scales[i]
 

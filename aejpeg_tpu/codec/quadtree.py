@@ -22,6 +22,7 @@ Root size rule: smallest power of two covering max(H, W)
 """
 
 import dataclasses
+import functools
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -146,6 +147,15 @@ def build_plan(edge: np.ndarray, max_size: int, min_size: int) -> QuadPlan:
     return QuadPlan(
         root_size=root, height=h, width=w, states=state,
         leaf_sizes=size[ord_leaf], leaf_y=y[ord_leaf], leaf_x=x[ord_leaf])
+
+
+@functools.lru_cache(maxsize=256)
+def uniform_plan(h: int, w: int, size: int) -> QuadPlan:
+    """Plan for min_block == max_block == size: the split predicate can never
+    consult the edge map (src/jpeg/quadtree.py:118 with size bounds equal),
+    so the plan depends only on the shape — cache it and skip edge detection
+    entirely."""
+    return build_plan(np.zeros((h, w), np.float32), size, size)
 
 
 # ------------------------------------------------------------ serialization

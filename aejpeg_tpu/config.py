@@ -55,10 +55,18 @@ for _cfg in COLOR_SPACE_SETTINGS.values():
 
 @dataclasses.dataclass(frozen=True)
 class CodecConfig:
-    """Compression settings (reference defaults: src/jpeg/jpeg.py:150-155)."""
+    """Compression settings (reference defaults: src/jpeg/jpeg.py:150-155).
+
+    entropy_level: zlib level for the coefficient streams.  9 matches the
+    reference's output byte-for-byte (src/jpeg/jpeg.py:590); any level
+    produces a spec-valid stream (the decoder just inflates), and 6 is ~10x
+    faster at ~1.1x larger output — the production default for throughput
+    deployments.  Not serialized: decode is level-agnostic.
+    """
     color_space: str = "YCoCg"
     quality_range: Tuple[int, int] = (40, 80)
     block_size_range: Tuple[int, int] = (4, 64)
+    entropy_level: int = 9
 
     def __post_init__(self):
         if self.color_space not in COLOR_SPACE_SETTINGS:
