@@ -153,12 +153,12 @@ class Codec:
         tables = self._quant_tables()
         mn, mx = cfg.block_size_range
 
-        import zlib as _zlib
+        from ..native import deflate_parallel
         writer = ContainerWriter(ContainerMetadata(
             height=h, width=w, num_layers=3, color_space=cfg.color_space,
             quality_min=cfg.quality_range[0], quality_max=cfg.quality_range[1],
             block_size_min=mn, block_size_max=mx, extension=img.extension),
-            compress=lambda b: _zlib.compress(b, level=cfg.entropy_level))
+            compress=lambda b: deflate_parallel(b, level=cfg.entropy_level))
 
         for i in range(3):
             layer = layers[i]

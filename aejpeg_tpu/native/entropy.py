@@ -1,0 +1,92 @@
+"""ctypes bindings for the C++ entropy backend (see entropy.cpp).
+
+deflate_parallel(data, level, threads) -> bytes: one spec-valid zlib stream
+built from independently-deflated chunks (Z_FULL_FLUSH splicing).  With
+threads=1 and chunk >= len it is byte-identical to zlib.compress(level).
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+import zlib
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libaejentropy.so")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+DEFAULT_CHUNK = 1 << 20  # 1 MiB chunks: ~0.1% ratio loss, good parallelism
+
+
+def build_native() -> bool:
+    src = os.path.join(_DIR, "entropy.cpp")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+           "-o", _SO, "-lz", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO):
+            if not build_native():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.aej_deflate_parallel.restype = ctypes.c_size_t
+        lib.aej_deflate_parallel.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_size_t]
+        lib.aej_inflate.restype = ctypes.c_size_t
+        lib.aej_inflate.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                                    ctypes.c_void_p, ctypes.c_size_t]
+        lib.aej_deflate_bound.restype = ctypes.c_size_t
+        lib.aej_deflate_bound.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def deflate_parallel(data: bytes, level: int = 9,
+                     threads: Optional[int] = None,
+                     chunk_size: int = DEFAULT_CHUNK) -> bytes:
+    """Compress to one zlib stream using the native thread pool; falls back
+    to zlib.compress if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return zlib.compress(data, level=level)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    bound = lib.aej_deflate_bound(len(data), chunk_size)
+    out = ctypes.create_string_buffer(bound)
+    n = lib.aej_deflate_parallel(data, len(data), out, bound, level,
+                                 threads, chunk_size)
+    if n == 0:
+        return zlib.compress(data, level=level)
+    return out.raw[:n]
+
+
+def inflate(data: bytes, max_out: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        return zlib.decompress(data)
+    out = ctypes.create_string_buffer(max_out)
+    n = lib.aej_inflate(data, len(data), out, max_out)
+    if n == 0:
+        return zlib.decompress(data)
+    return out.raw[:n]

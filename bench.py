@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from aejpeg_tpu import color
 from aejpeg_tpu.codec import quadtree as qt
+from aejpeg_tpu.native import deflate_parallel
 from aejpeg_tpu.ops import dct, quant, resize, zigzag
 from aejpeg_tpu.parallel.batch import device_encode_uniform
 
@@ -145,7 +146,7 @@ def main():
             lh, lw = edges_np[li].shape[1:3]
             plan = qt.uniform_plan(int(lh), int(lw), BLOCK)
             states, _ = qt.pack_states(plan.states)
-            comp = zlib.compress(
+            comp = deflate_parallel(
                 coeffs_np[li][bi].astype("<i4").tobytes(),
                 level=ENTROPY_LEVEL)
             comp_bytes += len(comp) + len(states)
