@@ -1,0 +1,194 @@
+"""Command-line interface.
+
+The reference's only interactive surface is a Tkinter GUI
+(src/gui/main_frame.py); for TPU pods the equivalent surfaces are:
+
+  aejpeg compress   <in.png ...> -o outdir [--color-space --quality --blocks]
+  aejpeg decompress <in.ajpg ...> -o outdir
+  aejpeg preview    <in.png>      # compress+decompress+metrics report
+  aejpeg sweep      <imgdir> -o results.csv [...]
+  aejpeg visualize  <in.png> -o outdir
+  aejpeg bench                    # device/host throughput probe
+  aejpeg info       <in.ajpg>     # container metadata
+"""
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+
+def _cfg_from_args(args):
+    from .config import CodecConfig
+    return CodecConfig(color_space=args.color_space,
+                       quality_range=tuple(args.quality),
+                       block_size_range=tuple(args.blocks),
+                       entropy_level=args.entropy_level)
+
+
+def _add_codec_args(p):
+    p.add_argument("--color-space", default="YCoCg")
+    p.add_argument("--quality", nargs=2, type=int, default=[40, 80],
+                   metavar=("MIN", "MAX"))
+    p.add_argument("--blocks", nargs=2, type=int, default=[4, 64],
+                   metavar=("MIN", "MAX"))
+    p.add_argument("--entropy-level", type=int, default=9)
+
+
+def cmd_compress(args):
+    from .codec.pipeline import Codec
+    from .io.image import ImageData
+    codec = Codec(_cfg_from_args(args))
+    os.makedirs(args.output, exist_ok=True)
+    for path in args.inputs:
+        img = ImageData.load(path)
+        blob = codec.compress(img)
+        out = Path(args.output) / (Path(path).stem + ".ajpg")
+        out.write_bytes(blob)
+        ratio = img.raw_rgb_bytes / len(blob)
+        print(f"{path} -> {out} ({len(blob)} bytes, {ratio:.2f}x)")
+
+
+def cmd_decompress(args):
+    from .codec.pipeline import Codec
+    os.makedirs(args.output, exist_ok=True)
+    for path in args.inputs:
+        codec = Codec()
+        img = codec.decompress(Path(path).read_bytes())
+        ext = (img.extension or ".png").lstrip(".")
+        out = Path(args.output) / (Path(path).stem + f"_decompressed.{ext}")
+        img.save(str(out))
+        print(f"{path} -> {out}")
+
+
+def cmd_preview(args):
+    from .codec.pipeline import Codec
+    from .io.image import ImageData
+    from .metrics import EvaluationMetrics
+    img = ImageData.load(args.input)
+    codec = Codec(_cfg_from_args(args))
+    blob = codec.compress(img)
+    out = Codec().decompress(blob)
+    ev = EvaluationMetrics(img, out)
+    report = {
+        "input": args.input,
+        "config": {"color_space": args.color_space,
+                   "quality": args.quality, "blocks": args.blocks},
+        "compressed_bytes": len(blob),
+        "compression_ratio": round(img.raw_rgb_bytes / len(blob), 4),
+        "psnr": round(ev.psnr(), 4),
+        "ssim": round(ev.ssim(), 4),
+        "ms_ssim": round(ev.ms_ssim(), 4),
+    }
+    try:
+        report["lpips"] = round(ev.lpips(), 4)
+    except FileNotFoundError:
+        report["lpips"] = None
+    if args.save:
+        out.save(args.save)
+        report["saved"] = args.save
+    print(json.dumps(report, indent=2))
+
+
+def cmd_sweep(args):
+    from .harness.sweep import MetricsSweep
+    exts = {".png", ".tiff", ".bmp"}
+    files = sorted(p for p in Path(args.imgdir).rglob("*")
+                   if p.is_file() and p.suffix in exts)
+    if args.limit:
+        files = files[:args.limit]
+    qv = tuple(args.quality_values)
+    bv = tuple(args.block_values)
+    sweep = MetricsSweep(
+        files, args.output,
+        color_spaces=args.color_spaces,
+        quality_ranges=[(a, b) for a in qv for b in qv if a <= b],
+        block_size_ranges=[(a, b) for a in bv for b in bv if a <= b],
+        with_lpips=args.lpips, entropy_level=args.entropy_level)
+    sweep.run()
+
+
+def cmd_visualize(args):
+    from .harness.visualize import visualize
+    visualize(args.input, args.output, _cfg_from_args(args))
+
+
+def cmd_info(args):
+    from .io.container import ContainerReader
+    for path in args.inputs:
+        r = ContainerReader(Path(path).read_bytes())
+        m = r.metadata
+        layers = r.read_layers()
+        print(json.dumps({
+            "file": path, "height": m.height, "width": m.width,
+            "color_space": m.color_space,
+            "quality": [m.quality_min, m.quality_max],
+            "blocks": [m.block_size_min, m.block_size_max],
+            "extension": m.extension,
+            "layer_root_sizes": [l.root_size for l in layers],
+            "layer_coeff_counts": [int(l.coeffs.size) for l in layers],
+        }, indent=2))
+
+
+def cmd_bench(args):
+    import runpy
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="aejpeg",
+                                description="TPU-native adaptive "
+                                            "edge-aware JPEG codec")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress")
+    c.add_argument("inputs", nargs="+")
+    c.add_argument("-o", "--output", default=".")
+    _add_codec_args(c)
+    c.set_defaults(fn=cmd_compress)
+
+    d = sub.add_parser("decompress")
+    d.add_argument("inputs", nargs="+")
+    d.add_argument("-o", "--output", default=".")
+    d.set_defaults(fn=cmd_decompress)
+
+    v = sub.add_parser("preview")
+    v.add_argument("input")
+    v.add_argument("--save")
+    _add_codec_args(v)
+    v.set_defaults(fn=cmd_preview)
+
+    s = sub.add_parser("sweep")
+    s.add_argument("imgdir")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--color-spaces", nargs="+", default=["YCbCr"])
+    s.add_argument("--quality-values", nargs="+", type=int,
+                   default=[10, 25, 50, 75, 90])
+    s.add_argument("--block-values", nargs="+", type=int,
+                   default=[4, 8, 16, 32, 64, 128])
+    s.add_argument("--lpips", action="store_true")
+    s.add_argument("--limit", type=int, default=0)
+    s.add_argument("--entropy-level", type=int, default=9)
+    s.set_defaults(fn=cmd_sweep)
+
+    w = sub.add_parser("visualize")
+    w.add_argument("input")
+    w.add_argument("-o", "--output", default="quadtree_vis")
+    _add_codec_args(w)
+    w.set_defaults(fn=cmd_visualize)
+
+    i = sub.add_parser("info")
+    i.add_argument("inputs", nargs="+")
+    i.set_defaults(fn=cmd_info)
+
+    b = sub.add_parser("bench")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,6 +124,11 @@ def ms_ssim(x, y, data_range: float = 1.0,
     relu'd components)."""
     xc, yc = _to_chw(x), _to_chw(y)
     levels = len(weights)
+    min_side = (11 - 1) * 2 ** (levels - 1) + 1
+    if min(xc.shape[-2:]) < min_side:
+        raise ValueError(
+            f"ms_ssim requires images of at least {min_side}px per side "
+            f"(got {xc.shape[-2:]}); piq imposes the same bound")
     vals = []
     for i in range(levels):
         s, cs = _ssim_components(xc, yc, data_range)
