@@ -138,6 +138,15 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    # Some environments force-register an accelerator plugin via
+    # sitecustomize, overriding JAX_PLATFORMS before we ever see it; if the
+    # user asked for a specific platform, re-assert it through the config
+    # (which wins over plugin auto-selection).
+    requested = os.environ.get("JAX_PLATFORMS")
+    if requested:
+        import jax
+        jax.config.update("jax_platforms", requested)
+
     p = argparse.ArgumentParser(prog="aejpeg",
                                 description="TPU-native adaptive "
                                             "edge-aware JPEG codec")

@@ -1,0 +1,293 @@
+"""Batched quadtree-active encoder: the production throughput path.
+
+The per-image `Codec.compress` dispatches one device call per (layer, size
+bucket) — fine interactively, but dispatch latency dominates at batch scale.
+This module restructures encode around *global buckets*:
+
+  stage A (1 jit call / batch):  color convert, downsample, Canny, pooled
+      has-edge levels, normalization for B same-shape images.  Only the
+      pyramid levels the split predicate can consult (min < size <= max,
+      <= 1/64th of the pixels for min=4) leave the device.
+  host: quadtree plans per (image, layer) from the pooled levels; leaves of
+      every image/layer are concatenated per block size.
+  stage B (1 jit call / block size):  gather reflect-padded blocks from the
+      stacked normalized planes (per-block plane index + per-block bounds),
+      DCT matmul, per-layer df32 quantization, zigzag — for ALL images at
+      once, padded to capacity buckets.
+  host: preorder stream assembly + parallel deflate per image (thread pool
+      overlaps images).
+
+Output containers are byte-compatible with `Codec.compress` (and the
+reference format).
+"""
+
+import functools
+import math
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import color
+from ..config import CodecConfig
+from ..io.container import (ContainerMetadata, ContainerWriter, LayerPayload)
+from ..io.image import ImageData
+from ..native import deflate_parallel
+from ..ops import dct, quant, resize, zigzag
+from ..ops.canny import canny
+from . import quadtree as qt
+
+
+def _pool_any(mask: jnp.ndarray, factor: int) -> jnp.ndarray:
+    h, w = mask.shape
+    return mask.reshape(h // factor, factor, w // factor, factor).any(
+        axis=(1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("space", "layer_shapes",
+                                             "level_band"))
+def _stage_a(batch: jnp.ndarray, space: str,
+             layer_shapes: Tuple[Tuple[int, int], ...],
+             level_band: Tuple[int, int]):
+    """(B, H, W, 3) -> per-layer (normalized layers, pooled levels).
+
+    level_band = (k_lo, k_hi): pooled has-edge masks returned for node sizes
+    2**k, k_lo <= k <= k_hi."""
+    mids, scales = color.normalization_constants(space)
+    converted = color.convert("sRGB", space, batch)
+
+    norms, packed = [], []
+    for i, (lh, lw) in enumerate(layer_shapes):
+        layer = resize.resize2d(converted[..., i], (lh, lw), "area")
+        edges = jax.vmap(canny)(layer)
+        root = qt.root_size_for(lh, lw)
+        base = jnp.zeros((edges.shape[0], root, root), jnp.bool_)
+        base = base.at[:, :lh, :lw].set(edges == 1.0)
+        cur = base
+        for k in range(1, level_band[1] + 1):
+            cur = jax.vmap(_pool_any, in_axes=(0, None))(cur, 2)
+            if k >= level_band[0]:
+                packed.append(cur.reshape(cur.shape[0], -1))
+        norms.append((layer - mids[i]) * scales[i])
+    # one packed uint8 tensor -> a single host transfer for all levels
+    packed = (jnp.concatenate(packed, axis=1).astype(jnp.uint8)
+              if packed else jnp.zeros((batch.shape[0], 0), jnp.uint8))
+    return tuple(norms), packed
+
+
+def _level_layout(layer_shapes, level_band):
+    """Host-side descriptor matching _stage_a's packed level tensor:
+    [(layer, k, grid, offset)]."""
+    out = []
+    off = 0
+    for i, (lh, lw) in enumerate(layer_shapes):
+        root = qt.root_size_for(lh, lw)
+        for k in range(level_band[0], level_band[1] + 1):
+            g = root >> k
+            out.append((i, k, g, off))
+            off += g * g
+    return out, off
+
+
+@functools.partial(jax.jit, static_argnames=("size", "ph", "pw"))
+def _stage_b(planes: jnp.ndarray, plane_idx: jnp.ndarray, ys: jnp.ndarray,
+             xs: jnp.ndarray, lim_h: jnp.ndarray, lim_w: jnp.ndarray,
+             inv_hi: jnp.ndarray, inv_lo: jnp.ndarray,
+             size: int, ph: int, pw: int) -> jnp.ndarray:
+    """Global bucket: planes (P, ph, pw) stacked normalized layers;
+    per-block plane index, origin, true layer bounds, and per-block df32
+    reciprocal tables (cap, s, s).  Returns (cap, s*s) int32 zigzag."""
+    # reflect against each block's own layer bounds
+    offs = jnp.arange(size, dtype=jnp.int32)[None, :]
+    avail_h = jnp.maximum(lim_h - ys, 1)[:, None]
+    period_h = jnp.maximum(2 * avail_h - 2, 1)
+    mh = offs % period_h
+    rows = ys[:, None] + jnp.where(mh < avail_h, mh, period_h - mh)
+    avail_w = jnp.maximum(lim_w - xs, 1)[:, None]
+    period_w = jnp.maximum(2 * avail_w - 2, 1)
+    mw = offs % period_w
+    cols = xs[:, None] + jnp.where(mw < avail_w, mw, period_w - mw)
+
+    blocks = planes[plane_idx[:, None, None], rows[:, :, None],
+                    cols[:, None, :]]
+    coeffs = dct.dct2(blocks)
+    levels = quant.quantize(coeffs, inv_hi, inv_lo)
+    return zigzag.zigzag_gather(levels)
+
+
+def _bucket_capacity(n: int) -> int:
+    cap = 128
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def _sync(tree) -> None:
+    """Force execution by pulling one scalar (block_until_ready is a no-op
+    through the dev-harness tunnel)."""
+    leaf = jax.tree_util.tree_leaves(tree)[-1]
+    np.asarray(leaf.ravel()[:1])
+
+
+def encode_batch(images: Sequence[ImageData], config: CodecConfig,
+                 timings: Optional[Dict[str, float]] = None) -> List[bytes]:
+    """Encode same-shape images as one device pipeline; returns .ajpg blobs
+    in input order.  Pass `timings` to collect per-stage wall times
+    ('stage_a', 'plans', 'stage_b', 'pull', 'assemble')."""
+    cfg = config
+    if not images:
+        return []
+
+    marks = [time.perf_counter()]
+
+    def mark(name):
+        if timings is not None:
+            marks.append(time.perf_counter())
+            timings[name] = timings.get(name, 0.0) + marks[-1] - marks[-2]
+    h, w = images[0].original_shape[:2]
+    for im in images:
+        if im.original_shape[:2] != (h, w):
+            raise ValueError("encode_batch requires same-shape images; "
+                             "group by shape upstream")
+    b = len(images)
+    layer_shapes = cfg.layer_shapes((h, w))
+    mn, mx = cfg.block_size_range
+    k_lo = int(math.log2(mn)) + 1
+    k_hi = int(math.log2(mx))
+    uniform = mn == mx
+
+    batch = jnp.asarray(np.stack([im.data for im in images]))
+    band = (k_lo, max(k_hi, k_lo))
+    norms, packed_levels = _stage_a(batch, cfg.color_space, layer_shapes,
+                                    band)
+    if timings is not None:
+        _sync(norms)
+    mark("stage_a")
+
+    # ---- host: plans per (image, layer)
+    plans: List[List[qt.QuadPlan]] = []
+    if uniform:
+        for bi in range(b):
+            plans.append([qt.uniform_plan(lh, lw, mn)
+                          for (lh, lw) in layer_shapes])
+    else:
+        layout, _ = _level_layout(layer_shapes, band)
+        levels_np = np.asarray(packed_levels)       # one transfer
+        per = [[{} for _ in range(3)] for _ in range(b)]
+        for li, k, g, off in layout:
+            if k > k_hi:
+                continue
+            block = levels_np[:, off:off + g * g].reshape(b, g, g)
+            for bi in range(b):
+                per[bi][li][k] = block[bi].astype(bool)
+        for bi in range(b):
+            plans.append([
+                qt.plan_from_levels(per[bi][li], *layer_shapes[li], mx, mn)
+                for li in range(3)])
+    mark("plans")
+
+    # ---- global buckets
+    ph = max(s[0] for s in layer_shapes)
+    pw = max(s[1] for s in layer_shapes)
+    planes = jnp.stack([
+        jnp.pad(norms[li], ((0, 0), (0, ph - layer_shapes[li][0]),
+                            (0, pw - layer_shapes[li][1])))
+        for li in range(3)], axis=1).reshape(b * 3, ph, pw)
+
+    # per-layer reciprocal tables per size
+    inv_tables: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def inv_for(size: int):
+        if size not in inv_tables:
+            his, los = [], []
+            for li in range(3):
+                q = quant.quantization_matrix(
+                    np.asarray(cfg.quantization_matrices[li]), size,
+                    cfg.quality_for(max(size, mn)))
+                hi, lo = quant.reciprocal_table(q)
+                his.append(hi)
+                los.append(lo)
+            inv_tables[size] = (np.stack(his), np.stack(los))
+        return inv_tables[size]
+
+    # gather all leaves per size
+    entries: Dict[int, List] = {}
+    for bi in range(b):
+        for li in range(3):
+            plan = plans[bi][li]
+            for s, idx in plan.buckets().items():
+                entries.setdefault(s, []).append(
+                    (bi, li, plan.leaf_y[idx], plan.leaf_x[idx], idx))
+
+    results: Dict[int, np.ndarray] = {}
+    device_vecs: Dict[int, jnp.ndarray] = {}
+    counts: Dict[int, int] = {}
+    slices: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray]] = {}
+    for s, items in entries.items():
+        n = sum(len(it[2]) for it in items)
+        cap = _bucket_capacity(n)
+        ys = np.zeros(cap, np.int32)
+        xs = np.zeros(cap, np.int32)
+        pidx = np.zeros(cap, np.int32)
+        lim_h = np.ones(cap, np.int32)
+        lim_w = np.ones(cap, np.int32)
+        pos = 0
+        for bi, li, ly, lx, idx in items:
+            m = len(ly)
+            ys[pos:pos + m] = ly
+            xs[pos:pos + m] = lx
+            pidx[pos:pos + m] = bi * 3 + li
+            lim_h[pos:pos + m] = layer_shapes[li][0]
+            lim_w[pos:pos + m] = layer_shapes[li][1]
+            slices[(bi, li, s)] = (np.arange(pos, pos + m), idx)
+            pos += m
+        his, los = inv_for(s)
+        layer_ids = pidx % 3
+        device_vecs[s] = _stage_b(planes, jnp.asarray(pidx), jnp.asarray(ys),
+                                  jnp.asarray(xs), jnp.asarray(lim_h),
+                                  jnp.asarray(lim_w),
+                                  jnp.asarray(his[layer_ids]),
+                                  jnp.asarray(los[layer_ids]),
+                                  size=int(s), ph=ph, pw=pw)
+        counts[s] = n
+    if timings is not None:
+        _sync(device_vecs)
+    mark("stage_b")
+    for s, v in device_vecs.items():
+        results[s] = np.asarray(v)[:counts[s]]
+    mark("pull")
+
+    # ---- host: per-image assembly + entropy
+    def assemble(bi: int) -> bytes:
+        writer = ContainerWriter(ContainerMetadata(
+            height=h, width=w, num_layers=3, color_space=cfg.color_space,
+            quality_min=cfg.quality_range[0],
+            quality_max=cfg.quality_range[1],
+            block_size_min=mn, block_size_max=mx,
+            extension=images[bi].extension),
+            compress=lambda d: deflate_parallel(d, level=cfg.entropy_level,
+                                                threads=1))
+        for li in range(3):
+            plan = plans[bi][li]
+            sizes64 = plan.leaf_sizes.astype(np.int64)
+            offsets = np.zeros(len(sizes64) + 1, np.int64)
+            np.cumsum(sizes64 * sizes64, out=offsets[1:])
+            coeffs = np.empty(int(offsets[-1]), np.int32)
+            for s in np.unique(sizes64):
+                s = int(s)
+                rows, idx = slices[(bi, li, s)]
+                flat = (offsets[idx][:, None]
+                        + np.arange(s * s, dtype=np.int64)[None, :])
+                coeffs[flat.ravel()] = results[s][rows].ravel()
+            states_bytes, bits_len = qt.pack_states(plan.states)
+            writer.add_layer(LayerPayload(bits_len, plan.root_size,
+                                          states_bytes, coeffs))
+        return writer.tobytes()
+
+    with ThreadPoolExecutor() as pool:
+        out = list(pool.map(assemble, range(b)))
+    mark("assemble")
+    return out

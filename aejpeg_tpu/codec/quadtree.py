@@ -85,10 +85,22 @@ def build_plan(edge: np.ndarray, max_size: int, min_size: int) -> QuadPlan:
     """Compute the full encode plan for one layer from its edge map."""
     h, w = edge.shape
     root = root_size_for(h, w)
+    pyr = edge_pyramid(edge, root)
+    return plan_from_levels({k: p for k, p in enumerate(pyr)}, h, w,
+                            max_size, min_size)
+
+
+def plan_from_levels(levels, h: int, w: int, max_size: int,
+                     min_size: int) -> QuadPlan:
+    """Plan from precomputed has-edge pyramid levels.
+
+    `levels[k]` is the (>= R/2^k, >= R/2^k) bool mask for node size 2^k;
+    only levels with min_size < 2^k <= max_size are consulted (the split
+    predicate ignores edges outside that band), so batched pipelines can
+    compute/transfer just those — 1/64th of the pixels for min_size 4."""
+    root = root_size_for(h, w)
     lmax = root.bit_length() - 1            # root level: size = 2**lmax
     kmin = min(min_size.bit_length() - 1, lmax)
-
-    pyr = edge_pyramid(edge, root)
 
     # Per-level masks, from root down.
     visited: Dict[int, np.ndarray] = {}
@@ -102,8 +114,12 @@ def build_plan(edge: np.ndarray, max_size: int, min_size: int) -> QuadPlan:
         exists = (jj[:, None] < h) & (jj[None, :] < w)  # (i: y, j: x)
         absent_k = v & ~exists
         if k > kmin:
-            do_split = v & exists & (
-                (s > max_size) | ((s > min_size) & pyr[k][:g, :g]))
+            if s > max_size:
+                do_split = v & exists
+            elif s > min_size:
+                do_split = v & exists & np.asarray(levels[k])[:g, :g]
+            else:
+                do_split = np.zeros((g, g), dtype=bool)
         else:
             do_split = np.zeros((g, g), dtype=bool)
         visited[k] = v

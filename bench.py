@@ -1,165 +1,95 @@
 """Codec benchmark — prints ONE JSON line for the driver.
 
-Measures, on the real chip, the end-to-end encode+decode rate of the
-uniform-grid fast path on the LIVE 512x768 subset:
-  * device: full encode (color convert, 4:2:0 downsample, complete Canny
-    stack, DCT, quantize, zigzag) + full decode (inverse zigzag, dequant,
-    IDCT, merge, upsample, inverse color) in one XLA program per batch,
-  * host: quadtree state planning + zlib-9 entropy coding of the real
-    coefficient streams (the container bytes the codec actually writes).
+Headline: end-to-end ENCODE throughput of the flagship quadtree-active
+configuration (quality 20-80, blocks 4-64, YCoCg — BASELINE.json's "LIVE at
+q20-80" target) on the LIVE 512x768 subset, using the batched production
+pipeline (`codec.batch_encode`): device stage A (color convert + 4:2:0
+downsample + full Canny stack + pooled edge pyramid), host quadtree
+planning, device stage B (global bucket gather -> DCT matmuls -> df32
+quantize -> zigzag), host preorder assembly + parallel deflate.
 
-Timing notes for this environment: the TPU is reached through a relay
-tunnel with ~26 ms round-trip latency and ~25 MB/s host transfer — both
-artifacts of the harness, not the codec or chip.  Device timings are
-scalar-synced and amortized over batches; the one bulk coefficient pull is
-excluded (production PCIe moves the same bytes at GB/s).  Host entropy time
-IS included, serially (no overlap credit).
+Included in the measured time: every compute stage, device AND host.
+Excluded: the device->host coefficient transfer ("pull"), because this dev
+harness reaches the TPU through a relay tunnel with ~26 ms round-trip and
+~25 MB/s bandwidth — three orders of magnitude below the PCIe link this
+transfer uses in production (the excluded time is reported on stderr).
+A decode+PSNR verification pass runs once for the metric label.
 """
 
 import glob
 import json
 import sys
-import time
-import zlib
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-import jax
-import jax.numpy as jnp
-
-from aejpeg_tpu import color
-from aejpeg_tpu.codec import quadtree as qt
-from aejpeg_tpu.native import deflate_parallel
-from aejpeg_tpu.ops import dct, quant, resize, zigzag
-from aejpeg_tpu.parallel.batch import device_encode_uniform
-
 LIVE = "/root/reference/test_images/LIVE_image_quality_assessment_database"
 SPACE = "YCoCg"
-BLOCK = 8
-QUALITY = (50, 50)
+QUALITY = (20, 80)
+BLOCKS = (4, 64)
 BATCH = 14
-ITERS = 6
+ITERS = 4
 ENTROPY_LEVEL = 6  # spec-valid encoder choice (9 = byte parity, ~10x slower)
 TARGET_MPIX_S = 500.0  # BASELINE.json encode target
 
 
-def load_batch():
+def load_images():
+    from aejpeg_tpu.io.image import ImageData
     import imageio.v3 as iio
     paths = sorted(glob.glob(f"{LIVE}/*.bmp"))
     imgs = []
     for p in paths:
         im = iio.imread(p)
         if im.shape == (512, 768, 3):
-            imgs.append(im.astype(np.float32) / 255.0)
+            imgs.append(ImageData(im.astype(np.float32) / 255.0,
+                                  im.shape, ".bmp"))
         if len(imgs) == BATCH:
             break
-    return np.stack(imgs)
-
-
-def measure_latency():
-    f = jax.jit(lambda s: s + 1.0)
-    float(f(jnp.float32(0)))
-    t0 = time.perf_counter()
-    n = 10
-    for i in range(n):
-        float(f(jnp.float32(i)))
-    return (time.perf_counter() - t0) / n
-
-
-def device_encode_decode(xs):
-    """Full encode then full decode on device; returns coefficient planes
-    (for host entropy), edge maps and the decoded batch's PSNR sum."""
-    from aejpeg_tpu.config import CodecConfig
-
-    cfg = CodecConfig(SPACE, QUALITY, (BLOCK, BLOCK))
-    mids, scales = color.normalization_constants(SPACE)
-
-    def one(img):
-        enc = device_encode_uniform(img, SPACE, BLOCK, QUALITY)
-        h, w = img.shape[0], img.shape[1]
-        shapes = cfg.layer_shapes((h, w))
-        ups = []
-        for i in range(3):
-            lh, lw = shapes[i]
-            gh, gw = -(-lh // BLOCK), -(-lw // BLOCK)
-            table = quant.quantization_matrix(
-                np.asarray(cfg.quantization_matrices[i]), BLOCK,
-                cfg.quality_for(BLOCK))
-            levels = zigzag.zigzag_scatter(enc["coeffs"][i], BLOCK)
-            blocks = dct.idct2(quant.dequantize(levels, jnp.asarray(table)))
-            # invert the Morton extraction: place blocks back by raster idx
-            from aejpeg_tpu.parallel.batch import _uniform_grid_order
-            order = _uniform_grid_order(lh, lw, BLOCK)
-            inv = np.empty_like(order)
-            inv[order] = np.arange(len(order), dtype=np.int32)
-            raster = blocks[jnp.asarray(inv)]
-            canvas = raster.reshape(gh, gw, BLOCK, BLOCK).transpose(
-                0, 2, 1, 3).reshape(gh * BLOCK, gw * BLOCK)
-            layer = canvas[:lh, :lw] / scales[i] + mids[i]
-            ups.append(resize.resize2d(layer, (h, w), "linear"))
-        rgb = color.convert(SPACE, "sRGB", jnp.stack(ups, axis=-1))
-        mse = jnp.mean((rgb - img) ** 2)
-        return enc["coeffs"], enc["edges"], mse
-
-    coeffs, edges, mses = jax.vmap(one)(xs)
-    return coeffs, edges, jnp.mean(mses)
+    return imgs
 
 
 def main():
-    batch_np = load_batch()
-    b, h, w = batch_np.shape[:3]
+    from aejpeg_tpu.codec.batch_encode import encode_batch
+    from aejpeg_tpu.codec.pipeline import Codec
+    from aejpeg_tpu.config import CodecConfig
+    from aejpeg_tpu.metrics import psnr as psnr_fn
+
+    images = load_images()
+    b = len(images)
+    h, w = images[0].original_shape[:2]
     mpix = b * h * w / 1e6
-    batch = jnp.asarray(batch_np)
+    cfg = CodecConfig(SPACE, QUALITY, BLOCKS, entropy_level=ENTROPY_LEVEL)
 
-    latency = measure_latency()
+    print("warmup/compile...", file=sys.stderr)
+    blobs = encode_batch(images, cfg)
 
-    # ---- device encode+decode (scalar-synced, single jit)
-    def fused(xs):
-        coeffs, edges, mse = device_encode_decode(xs)
-        chk = sum(jnp.sum(jnp.abs(c)).astype(jnp.float32) for c in coeffs)
-        chk = chk + sum(jnp.sum(e) for e in edges)
-        return mse, chk, coeffs, edges
-
-    step = jax.jit(fused)
-    print("compiling...", file=sys.stderr)
-    out = step(batch)
-    psnr = -10 * np.log10(float(out[0]))
-    print(f"compiled; PSNR {psnr:.2f}", file=sys.stderr)
-    t0 = time.perf_counter()
+    timings = {}
     for _ in range(ITERS):
-        out = step(batch)
-        float(out[1])
-    t_dev = (time.perf_counter() - t0) / ITERS - latency
-    print(f"device: {t_dev * 1e3:.1f} ms/batch", file=sys.stderr)
+        blobs = encode_batch(images, cfg, timings=timings)
+    for k in timings:
+        timings[k] /= ITERS
+    print(f"per-batch stage times: "
+          f"{ {k: round(v, 3) for k, v in timings.items()} }",
+          file=sys.stderr)
 
-    # ---- host side: quadtree planning + zlib of the real streams
-    coeffs_np = [np.asarray(c) for c in out[2]]     # one bulk pull
-    edges_np = [np.asarray(e) for e in out[3]]
-    print("pulled payloads", file=sys.stderr)
+    measured = sum(v for k, v in timings.items() if k != "pull")
+    value = mpix / measured
 
-    t0 = time.perf_counter()
-    comp_bytes = 0
-    for bi in range(b):
-        for li in range(3):
-            lh, lw = edges_np[li].shape[1:3]
-            plan = qt.uniform_plan(int(lh), int(lw), BLOCK)
-            states, _ = qt.pack_states(plan.states)
-            comp = deflate_parallel(
-                coeffs_np[li][bi].astype("<i4").tobytes(),
-                level=ENTROPY_LEVEL)
-            comp_bytes += len(comp) + len(states)
-    t_host = time.perf_counter() - t0
-    print(f"host entropy: {t_host:.2f}s", file=sys.stderr)
-
-    total = t_dev + t_host
-    value = mpix / total
+    comp_bytes = sum(len(x) for x in blobs)
     ratio = (b * h * w * 3) / comp_bytes
+
+    # decode + PSNR verification (once, unmeasured)
+    out = Codec().decompress(blobs[0])
+    p = float(psnr_fn(images[0].data, out.data))
+
     print(json.dumps({
-        "metric": (f"encode+decode Mpix/s/chip (LIVE 512x768 x{b}, {SPACE} "
-                   f"q50 8x8 grid, device+host-entropy(zlib-{ENTROPY_LEVEL}) "
-                   f"serial; PSNR {psnr:.2f} dB, CR {ratio:.1f}x)"),
+        "metric": (f"encode Mpix/s/chip (LIVE 512x768 x{b}, {SPACE} "
+                   f"q{QUALITY[0]}-{QUALITY[1]} blocks "
+                   f"{BLOCKS[0]}-{BLOCKS[1]} quadtree, batched pipeline, "
+                   f"all compute incl host entropy zlib-{ENTROPY_LEVEL}; "
+                   f"tunnel transfer excluded: {timings.get('pull', 0):.2f}"
+                   f"s/batch; PSNR {p:.2f} dB, CR {ratio:.1f}x)"),
         "value": round(value, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(value / TARGET_MPIX_S, 4),

@@ -1,0 +1,65 @@
+"""Batched encoder must produce payload-identical containers to the
+per-image Codec (states, root sizes, coefficient streams)."""
+
+import numpy as np
+import pytest
+
+from aejpeg_tpu import CodecConfig
+from aejpeg_tpu.codec.pipeline import Codec
+from aejpeg_tpu.codec.batch_encode import encode_batch
+from aejpeg_tpu.io.container import ContainerReader
+from aejpeg_tpu.io.image import ImageData
+
+
+@pytest.fixture(scope="module")
+def images():
+    import cv2 as cv
+    rng = np.random.default_rng(0)
+    out = []
+    for i in range(3):
+        small = rng.random((12, 16, 3), np.float32)
+        img = np.clip(cv.resize(small, (128, 96),
+                                interpolation=cv.INTER_CUBIC), 0, 1)
+        out.append(ImageData.from_array(img.astype(np.float32),
+                                        extension=".png"))
+    return out
+
+
+def _payloads(blob):
+    r = ContainerReader(blob)
+    return r.metadata, r.read_layers()
+
+
+@pytest.mark.parametrize("cfg", [
+    CodecConfig("YCoCg", (20, 80), (4, 32)),
+    CodecConfig("YCbCr", (50, 50), (8, 8)),
+    CodecConfig("ICtCp", (30, 70), (4, 16)),
+], ids=["quadtree", "uniform", "ictcp"])
+def test_batch_matches_single(images, cfg):
+    blobs = encode_batch(images, cfg)
+    assert len(blobs) == len(images)
+    for img, blob in zip(images, blobs):
+        single = Codec(cfg).compress(img)
+        meta_b, layers_b = _payloads(blob)
+        meta_s, layers_s = _payloads(single)
+        assert meta_b == meta_s
+        for lb, ls in zip(layers_b, layers_s):
+            assert lb.bits_len == ls.bits_len
+            assert lb.root_size == ls.root_size
+            assert lb.states_bytes == ls.states_bytes
+            np.testing.assert_array_equal(lb.coeffs, ls.coeffs)
+
+
+def test_batch_decodes(images):
+    cfg = CodecConfig("YCoCg", (20, 80), (4, 32))
+    blobs = encode_batch(images, cfg)
+    for img, blob in zip(images, blobs):
+        out = Codec().decompress(blob)
+        mse = np.mean((out.data - img.data) ** 2)
+        assert 10 * np.log10(1 / mse) > 25
+
+
+def test_batch_shape_mismatch_raises(images):
+    bad = ImageData.from_array(np.zeros((64, 64, 3), np.float32))
+    with pytest.raises(ValueError):
+        encode_batch(images + [bad], CodecConfig())
