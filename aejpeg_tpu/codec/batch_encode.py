@@ -59,6 +59,7 @@ def _stage_a(batch: jnp.ndarray, space: str,
     mids, scales = color.normalization_constants(space)
     converted = color.convert("sRGB", space, batch)
 
+    ph, pw = layer_shapes[0]
     norms, packed = [], []
     for i, (lh, lw) in enumerate(layer_shapes):
         layer = resize.resize2d(converted[..., i], (lh, lw), "area")
@@ -71,11 +72,16 @@ def _stage_a(batch: jnp.ndarray, space: str,
             cur = jax.vmap(_pool_any, in_axes=(0, None))(cur, 2)
             if k >= level_band[0]:
                 packed.append(cur.reshape(cur.shape[0], -1))
-        norms.append((layer - mids[i]) * scales[i])
+        norm = (layer - mids[i]) * scales[i]
+        norms.append(jnp.pad(norm, ((0, 0), (0, ph - lh), (0, pw - lw))))
+    # (B, 3, ph, pw) -> (B*3, ph, pw): the stacked planes stage_b gathers
+    # blocks from (built here so no eager pad/stack dispatches sit between
+    # the two stages)
+    planes = jnp.stack(norms, axis=1).reshape(-1, ph, pw)
     # one packed uint8 tensor -> a single host transfer for all levels
     packed = (jnp.concatenate(packed, axis=1).astype(jnp.uint8)
               if packed else jnp.zeros((batch.shape[0], 0), jnp.uint8))
-    return tuple(norms), packed
+    return planes, packed
 
 
 def _level_layout(layer_shapes, level_band):
@@ -92,14 +98,35 @@ def _level_layout(layer_shapes, level_band):
     return out, off
 
 
-@functools.partial(jax.jit, static_argnames=("size", "ph", "pw"))
-def _stage_b(planes: jnp.ndarray, plane_idx: jnp.ndarray, ys: jnp.ndarray,
-             xs: jnp.ndarray, lim_h: jnp.ndarray, lim_w: jnp.ndarray,
-             inv_hi: jnp.ndarray, inv_lo: jnp.ndarray,
-             size: int, ph: int, pw: int) -> jnp.ndarray:
+_INV255_HI = np.float32(1.0 / 255.0)
+_INV255_LO = np.float32(1.0 / 255.0 - np.float64(np.float32(1.0 / 255.0)))
+
+
+@jax.jit
+def _u8_to_unit_float(batch: jnp.ndarray) -> jnp.ndarray:
+    """uint8 -> float32/255, bit-identical to the host loader's
+    x.astype(f32)/255 over all 256 inputs (exhaustively tested).
+
+    XLA's compiled f32 divide is not correctly rounded (126/256 values are
+    1 ulp off vs numpy), so divide via the double-float32 reciprocal:
+    x*hi + x*lo compensates the representation error of 1/255."""
+    x = batch.astype(jnp.float32)
+    return x * _INV255_HI + x * _INV255_LO
+
+
+def _bucket_coeffs(planes: jnp.ndarray, plane_idx: jnp.ndarray,
+                   ys: jnp.ndarray, xs: jnp.ndarray, lim_h: jnp.ndarray,
+                   lim_w: jnp.ndarray, inv_hi3: jnp.ndarray,
+                   inv_lo3: jnp.ndarray, size: int) -> jnp.ndarray:
     """Global bucket: planes (P, ph, pw) stacked normalized layers;
-    per-block plane index, origin, true layer bounds, and per-block df32
-    reciprocal tables (cap, s, s).  Returns (cap, s*s) int32 zigzag."""
+    per-block plane index, origin, true layer bounds, and per-LAYER df32
+    reciprocal tables (3, s, s), indexed on device by plane_idx % 3 (a
+    per-block table upload would move cap*s*s*8 bytes over the host link).
+    Returns (cap, s*s) int16 zigzag — levels are bounded by the DCT gain:
+    |coeff| <= size * 127.5 <= 16320 for size <= 128, quant divides by
+    Q >= 1, so int16 never saturates and the pull moves half the bytes."""
+    inv_hi = inv_hi3[plane_idx % 3]
+    inv_lo = inv_lo3[plane_idx % 3]
     # reflect against each block's own layer bounds
     offs = jnp.arange(size, dtype=jnp.int32)[None, :]
     avail_h = jnp.maximum(lim_h - ys, 1)[:, None]
@@ -115,7 +142,18 @@ def _stage_b(planes: jnp.ndarray, plane_idx: jnp.ndarray, ys: jnp.ndarray,
                     cols[:, None, :]]
     coeffs = dct.dct2(blocks)
     levels = quant.quantize(coeffs, inv_hi, inv_lo)
-    return zigzag.zigzag_gather(levels)
+    return zigzag.zigzag_gather(levels).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("sizes",))
+def _stage_b(planes: jnp.ndarray, per_size: Tuple, sizes: Tuple[int, ...]
+             ) -> Tuple[jnp.ndarray, ...]:
+    """All size buckets in ONE dispatch (each eager call pays the host-link
+    round-trip).  per_size[i] = (plane_idx, ys, xs, lim_h, lim_w, inv_hi3,
+    inv_lo3) for sizes[i]."""
+    return tuple(
+        _bucket_coeffs(planes, *per_size[i], size=s)
+        for i, s in enumerate(sizes))
 
 
 def _bucket_capacity(n: int) -> int:
@@ -136,7 +174,8 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
                  timings: Optional[Dict[str, float]] = None) -> List[bytes]:
     """Encode same-shape images as one device pipeline; returns .ajpg blobs
     in input order.  Pass `timings` to collect per-stage wall times
-    ('stage_a', 'plans', 'stage_b', 'pull', 'assemble')."""
+    ('push', 'stage_a', 'plans', 'stage_b', 'pull', 'assemble'); 'push' and
+    'pull' are the host<->device transfers."""
     cfg = config
     if not images:
         return []
@@ -159,12 +198,27 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
     k_hi = int(math.log2(mx))
     uniform = mn == mx
 
-    batch = jnp.asarray(np.stack([im.data for im in images]))
+    # Upload uint8 when every image is exactly uint8-sourced (4x fewer
+    # bytes over the host link); the device-side /255 matches the host
+    # loader bit-for-bit (exhaustively tested over all 256 values).
+    stacked = np.stack([im.data for im in images])
+    u8 = np.round(stacked * 255.0).astype(np.uint8)
+    if np.array_equal(u8.astype(np.float32) / 255.0, stacked):
+        batch = jnp.asarray(u8)
+        if timings is not None:
+            _sync(batch)
+        mark("push")
+        batch = _u8_to_unit_float(batch)
+    else:
+        batch = jnp.asarray(stacked)
+        if timings is not None:
+            _sync(batch)
+        mark("push")
     band = (k_lo, max(k_hi, k_lo))
-    norms, packed_levels = _stage_a(batch, cfg.color_space, layer_shapes,
-                                    band)
+    planes, packed_levels = _stage_a(batch, cfg.color_space, layer_shapes,
+                                     band)
     if timings is not None:
-        _sync(norms)
+        _sync(planes)
     mark("stage_a")
 
     # ---- host: plans per (image, layer)
@@ -190,13 +244,6 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
     mark("plans")
 
     # ---- global buckets
-    ph = max(s[0] for s in layer_shapes)
-    pw = max(s[1] for s in layer_shapes)
-    planes = jnp.stack([
-        jnp.pad(norms[li], ((0, 0), (0, ph - layer_shapes[li][0]),
-                            (0, pw - layer_shapes[li][1])))
-        for li in range(3)], axis=1).reshape(b * 3, ph, pw)
-
     # per-layer reciprocal tables per size
     inv_tables: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -223,10 +270,12 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
                     (bi, li, plan.leaf_y[idx], plan.leaf_x[idx], idx))
 
     results: Dict[int, np.ndarray] = {}
-    device_vecs: Dict[int, jnp.ndarray] = {}
     counts: Dict[int, int] = {}
     slices: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray]] = {}
-    for s, items in entries.items():
+    sizes = tuple(sorted(entries))
+    per_size = []
+    for s in sizes:
+        items = entries[s]
         n = sum(len(it[2]) for it in items)
         cap = _bucket_capacity(n)
         ys = np.zeros(cap, np.int32)
@@ -245,19 +294,16 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
             slices[(bi, li, s)] = (np.arange(pos, pos + m), idx)
             pos += m
         his, los = inv_for(s)
-        layer_ids = pidx % 3
-        device_vecs[s] = _stage_b(planes, jnp.asarray(pidx), jnp.asarray(ys),
-                                  jnp.asarray(xs), jnp.asarray(lim_h),
-                                  jnp.asarray(lim_w),
-                                  jnp.asarray(his[layer_ids]),
-                                  jnp.asarray(los[layer_ids]),
-                                  size=int(s), ph=ph, pw=pw)
+        per_size.append((pidx, ys, xs, lim_h, lim_w, his, los))
         counts[s] = n
+    device_vecs = _stage_b(planes, tuple(per_size), sizes=sizes)
     if timings is not None:
         _sync(device_vecs)
     mark("stage_b")
-    for s, v in device_vecs.items():
-        results[s] = np.asarray(v)[:counts[s]]
+    for s, v in zip(sizes, device_vecs):
+        # slice to the real count on device: the capacity padding (up to
+        # 2x) never crosses the host link
+        results[s] = np.asarray(v[:counts[s]], dtype=np.int32)
     mark("pull")
 
     # ---- host: per-image assembly + entropy

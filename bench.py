@@ -18,11 +18,19 @@ A decode+PSNR verification pass runs once for the metric label.
 
 import glob
 import json
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+# sitecustomize force-registers the accelerator plugin, overriding
+# JAX_PLATFORMS; re-assert an explicit platform request (lets the bench run
+# on CPU for functional checks).
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 LIVE = "/root/reference/test_images/LIVE_image_quality_assessment_database"
 SPACE = "YCoCg"
@@ -73,7 +81,8 @@ def main():
           f"{ {k: round(v, 3) for k, v in timings.items()} }",
           file=sys.stderr)
 
-    measured = sum(v for k, v in timings.items() if k != "pull")
+    measured = sum(v for k, v in timings.items()
+                   if k not in ("pull", "push"))
     value = mpix / measured
 
     comp_bytes = sum(len(x) for x in blobs)
@@ -88,8 +97,10 @@ def main():
                    f"q{QUALITY[0]}-{QUALITY[1]} blocks "
                    f"{BLOCKS[0]}-{BLOCKS[1]} quadtree, batched pipeline, "
                    f"all compute incl host entropy zlib-{ENTROPY_LEVEL}; "
-                   f"tunnel transfer excluded: {timings.get('pull', 0):.2f}"
-                   f"s/batch; PSNR {p:.2f} dB, CR {ratio:.1f}x)"),
+                   f"tunnel transfers excluded: push "
+                   f"{timings.get('push', 0):.2f}s + pull "
+                   f"{timings.get('pull', 0):.2f}s/batch; "
+                   f"PSNR {p:.2f} dB, CR {ratio:.1f}x)"),
         "value": round(value, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(value / TARGET_MPIX_S, 4),

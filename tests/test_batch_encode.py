@@ -59,6 +59,37 @@ def test_batch_decodes(images):
         assert 10 * np.log10(1 / mse) > 25
 
 
+def test_uint8_source_matches_float_path(images):
+    """Images that are exactly uint8-sourced take the uint8 upload path;
+    containers must be identical to the float path (and to the per-image
+    Codec)."""
+    cfg = CodecConfig("YCoCg", (20, 80), (4, 32))
+    u8_imgs = [ImageData.from_array(
+        (np.round(im.data * 255).astype(np.uint8).astype(np.float32) / 255.0),
+        extension=".png") for im in images]
+    blobs = encode_batch(u8_imgs, cfg)
+    for img, blob in zip(u8_imgs, blobs):
+        single = Codec(cfg).compress(img)
+        meta_b, layers_b = _payloads(blob)
+        meta_s, layers_s = _payloads(single)
+        assert meta_b == meta_s
+        for lb, ls in zip(layers_b, layers_s):
+            assert lb.states_bytes == ls.states_bytes
+            np.testing.assert_array_equal(lb.coeffs, ls.coeffs)
+
+
+def test_u8_to_unit_float_exhaustive():
+    """Device uint8->f32/255 must be bit-identical to the host loader for
+    every possible input value (XLA's compiled divide is not correctly
+    rounded, hence the df32 formulation)."""
+    import jax.numpy as jnp
+    from aejpeg_tpu.codec.batch_encode import _u8_to_unit_float
+    u8 = np.arange(256, dtype=np.uint8)
+    host = u8.astype(np.float32) / 255.0
+    np.testing.assert_array_equal(np.asarray(_u8_to_unit_float(
+        jnp.asarray(u8))), host)
+
+
 def test_batch_shape_mismatch_raises(images):
     bad = ImageData.from_array(np.zeros((64, 64, 3), np.float32))
     with pytest.raises(ValueError):
