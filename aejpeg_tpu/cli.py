@@ -137,6 +137,11 @@ def cmd_bench(args):
                    run_name="__main__")
 
 
+def cmd_gui(args):
+    from .gui import main as gui_main
+    gui_main(args.preview)
+
+
 def main(argv=None):
     # Some environments force-register an accelerator plugin via
     # sitecustomize, overriding JAX_PLATFORMS before we ever see it; if the
@@ -194,6 +199,11 @@ def main(argv=None):
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)
+
+    g = sub.add_parser("gui", help="launch the interactive codec explorer "
+                                   "(needs a display)")
+    g.add_argument("preview", nargs="?", default=None)
+    g.set_defaults(fn=cmd_gui)
 
     args = p.parse_args(argv)
     return args.fn(args)

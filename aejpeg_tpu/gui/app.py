@@ -1,0 +1,150 @@
+"""Interactive codec explorer — the reference GUI's capabilities on the
+TPU-native codec.
+
+Capability parity with the reference app (reference: src/gui/main_frame.py:
+33-222): a settings column (files, color space, quality range, block-size
+range), a live preview with quality metrics and compression ratio, and
+batch compress (image -> sibling .ajpg) / decompress (.ajpg -> image)
+actions over the selected files.
+
+TPU-first differences from the reference:
+  * batch compression groups same-shape images and routes them through the
+    batched device pipeline (`codec.batch_encode.encode_batch`) instead of
+    a per-file Python loop (reference: src/gui/main_frame.py:166-168);
+  * codec work runs off the Tk event thread (reference blocks it).
+"""
+
+import os
+import threading
+from collections import defaultdict
+from typing import Callable, List, Optional, Tuple
+
+import tkinter as tk
+from tkinter import messagebox, ttk
+
+from ..codec.batch_encode import encode_batch
+from ..codec.pipeline import Codec
+from ..color import get_color_spaces
+from ..io.image import ImageData
+from .control_panel import ControlPanel, PanelState
+from .preview_panel import PreviewPanel
+
+_DEFAULT_PREVIEW = "/root/reference/test_images/lena.png"
+
+
+def plan_batches(paths: List[str]) -> List[List[Tuple[str, ImageData]]]:
+    """Group image files by (H, W) so each group can ride one device batch.
+    Pure helper — unit-tested headlessly."""
+    groups = defaultdict(list)
+    for p in paths:
+        img = ImageData.load(p)
+        groups[img.original_shape[:2]].append((p, img))
+    return list(groups.values())
+
+
+class AejpegApp:
+    """Main application window."""
+
+    def __init__(self, root: tk.Tk,
+                 preview_path: Optional[str] = None,
+                 state: Optional[PanelState] = None):
+        self.root = root
+        root.title("aejpeg_tpu — adaptive edge-aware codec")
+        self.state = state or PanelState()
+        self.codec = Codec(self.state.to_config())
+
+        main = ttk.Frame(root, padding=10)
+        main.pack(fill="both", expand=True)
+
+        self.control_panel = ControlPanel(
+            main, self.state, color_spaces=get_color_spaces(),
+            on_settings_changed=self._settings_changed,
+            on_compress=self.compress_selected,
+            on_decompress=self.decompress_selected)
+        self.control_panel.frame.pack(side="left", fill="y", padx=(0, 10))
+
+        if preview_path is None and os.path.exists(_DEFAULT_PREVIEW):
+            preview_path = _DEFAULT_PREVIEW
+        self.preview_panel = PreviewPanel(
+            main, process_fn=self._process_preview,
+            preview_path=preview_path)
+        self.preview_panel.frame.pack(side="right", fill="both", expand=True)
+
+    # -- settings ----------------------------------------------------------
+    def _settings_changed(self, state: PanelState) -> None:
+        self.codec.update_settings(state.to_config())
+
+    # -- preview -----------------------------------------------------------
+    def _process_preview(self, img: ImageData) -> Tuple[ImageData, float]:
+        blob = self.codec.compress(img)
+        out = self.codec.decompress(blob)
+        # ratio vs raw RGB bytes, as the reference reports it
+        # (reference: src/gui/main_frame.py:148-151)
+        return out, img.raw_rgb_bytes() / len(blob)
+
+    # -- batch actions -----------------------------------------------------
+    def compress_selected(self) -> None:
+        files = self.state.image_files()
+        if not files:
+            messagebox.showwarning("No image files selected",
+                                   "Select image files to compress.")
+            return
+        self._run_job(self._compress_job, files, "Compression")
+
+    def decompress_selected(self) -> None:
+        files = self.state.ajpg_files()
+        if not files:
+            messagebox.showwarning("No .ajpg files selected",
+                                   "Select .ajpg files to decompress.")
+            return
+        self._run_job(self._decompress_job, files, "Decompression")
+
+    def _compress_job(self, files: List[str]) -> List[str]:
+        errors = []
+        cfg = self.state.to_config()
+        for group in plan_batches(files):
+            try:
+                blobs = encode_batch([img for _, img in group], cfg)
+                for (path, _), blob in zip(group, blobs):
+                    with open(os.path.splitext(path)[0] + ".ajpg", "wb") as f:
+                        f.write(blob)
+            except Exception as e:  # isolate per group, keep going
+                errors.append(f"{[p for p, _ in group]}: {e}")
+        return errors
+
+    def _decompress_job(self, files: List[str]) -> List[str]:
+        errors = []
+        for path in files:
+            try:
+                with open(path, "rb") as f:
+                    img = Codec().decompress(f.read())
+                img.save(os.path.splitext(path)[0] + img.extension)
+            except Exception as e:
+                errors.append(f"{os.path.basename(path)}: {e}")
+        return errors
+
+    def _run_job(self, job: Callable[[List[str]], List[str]],
+                 files: List[str], label: str) -> None:
+        def work() -> None:
+            errors = job(files)
+            def report() -> None:
+                if errors:
+                    messagebox.showerror(
+                        f"{label} finished with errors", "\n".join(errors))
+                else:
+                    messagebox.showinfo(f"{label} complete",
+                                        f"{label} of {len(files)} file(s) "
+                                        "finished.")
+            self.root.after(0, report)
+
+        threading.Thread(target=work, daemon=True).start()
+
+
+def main(preview_path: Optional[str] = None) -> None:
+    root = tk.Tk()
+    AejpegApp(root, preview_path=preview_path)
+    root.mainloop()
+
+
+if __name__ == "__main__":
+    main()
