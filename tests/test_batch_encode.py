@@ -90,6 +90,34 @@ def test_u8_to_unit_float_exhaustive():
         jnp.asarray(u8))), host)
 
 
+@pytest.mark.parametrize("shape", [(100, 120), (94, 50)],
+                         ids=["mild-overhang", "deep-reflect"])
+def test_batch_boundary_blocks_match_single(shape):
+    """Shapes not divisible by the block sizes force the boundary bucket
+    (per-block reflect padding, incl. periodic wrap when a block is more
+    than twice as large as its available region)."""
+    import cv2 as cv
+    rng = np.random.default_rng(7)
+    h, w = shape
+    imgs = []
+    for _ in range(2):
+        small = rng.random((10, 12, 3), np.float32)
+        img = np.clip(cv.resize(small, (w, h),
+                                interpolation=cv.INTER_CUBIC), 0, 1)
+        imgs.append(ImageData.from_array(img.astype(np.float32),
+                                         extension=".png"))
+    cfg = CodecConfig("YCoCg", (20, 80), (4, 64))
+    blobs = encode_batch(imgs, cfg)
+    for img, blob in zip(imgs, blobs):
+        single = Codec(cfg).compress(img)
+        meta_b, layers_b = _payloads(blob)
+        meta_s, layers_s = _payloads(single)
+        assert meta_b == meta_s
+        for lb, ls in zip(layers_b, layers_s):
+            assert lb.states_bytes == ls.states_bytes
+            np.testing.assert_array_equal(lb.coeffs, ls.coeffs)
+
+
 def test_batch_shape_mismatch_raises(images):
     bad = ImageData.from_array(np.zeros((64, 64, 3), np.float32))
     with pytest.raises(ValueError):

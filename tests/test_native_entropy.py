@@ -50,3 +50,48 @@ def test_empty_and_small():
     for data in (b"", b"x", b"hello" * 10):
         comp = ne.deflate_parallel(data, level=9, threads=2)
         assert zlib.decompress(comp) == data
+
+
+# ------------------------------------------------- sparse encoder (level -1)
+
+def test_sparse_roundtrip(payload):
+    for threads in (1, 2, 4):
+        comp = ne.deflate_parallel(payload, level=-1, threads=threads)
+        assert zlib.decompress(comp) == payload
+
+
+def test_sparse_ratio_sane(payload):
+    """The specialized encoder must stay within ~25% of zlib-6 output on
+    coefficient-like data (it trades ratio for ~5-10x throughput)."""
+    ref = len(zlib.compress(payload, level=6))
+    sp = len(ne.deflate_parallel(payload, level=-1, threads=2))
+    assert sp < ref * 1.25
+
+
+def test_sparse_edge_cases():
+    rng = np.random.default_rng(3)
+    payloads = [
+        b"",
+        b"x",
+        b"ab" * 3,
+        bytes(10_000_000),                      # one giant zero run
+        rng.bytes(500_000),                     # incompressible -> stored
+        bytes(range(256)) * 4,                  # all literals
+        (np.arange(100_000, dtype=np.int32) % 7 - 3).tobytes(),  # dist-4
+        b"\xff" * 3 + b"\x01" + b"\xff" * 3,    # short runs only
+    ]
+    for data in payloads:
+        comp = ne.deflate_parallel(data, level=-1, threads=3)
+        assert zlib.decompress(comp) == data
+
+
+def test_sparse_huffman_depth_limit():
+    """Exponentially skewed frequencies force the depth-15 clamp path."""
+    parts = []
+    f = 1
+    for b in range(20):
+        parts.append(bytes([b]) * f)
+        f = min(f * 3, 2_000_000)
+    data = b"".join(parts)
+    comp = ne.deflate_parallel(data, level=-1, threads=1)
+    assert zlib.decompress(comp) == data
