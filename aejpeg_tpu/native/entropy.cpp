@@ -522,6 +522,40 @@ size_t aej_inflate(const unsigned char* src, size_t len, unsigned char* dst,
   return rc == Z_STREAM_END ? out : 0;
 }
 
+// Preorder stack replay of 2-bit quadtree states -> leaf (size, y, x),
+// mirroring the reference traversal (src/jpeg/jpeg.py:768-800 and
+// codec/quadtree.py replay_positions).  Output arrays must have capacity
+// n_states.  Returns the number of leaves.
+size_t aej_replay_states(const unsigned char* states, size_t n_states,
+                         int root_size, int32_t* sizes, int32_t* ys,
+                         int32_t* xs) {
+  struct Node {
+    int32_t x, y, size;
+  };
+  std::vector<Node> stack;
+  stack.reserve(128);
+  stack.push_back({0, 0, root_size});
+  size_t idx = 0, out = 0;
+  while (!stack.empty() && idx < n_states) {
+    Node nd = stack.back();
+    stack.pop_back();
+    unsigned char st = states[idx++];
+    if (st == 0) {
+      sizes[out] = nd.size;
+      ys[out] = nd.y;
+      xs[out] = nd.x;
+      ++out;
+    } else if (st == 1) {
+      int32_t half = nd.size >> 1;
+      stack.push_back({nd.x + half, nd.y + half, half});
+      stack.push_back({nd.x, nd.y + half, half});
+      stack.push_back({nd.x + half, nd.y, half});
+      stack.push_back({nd.x, nd.y, half});
+    }
+  }
+  return out;
+}
+
 // Upper bound for aej_deflate_parallel output.
 size_t aej_deflate_bound(size_t len, size_t chunk_size) {
   if (chunk_size < 1 << 16) chunk_size = 1 << 16;

@@ -38,9 +38,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO):
-            if not build_native():
-                return None
+        src = os.path.join(_DIR, "entropy.cpp")
+        stale = (not os.path.exists(_SO)
+                 or (os.path.exists(src)
+                     and os.path.getmtime(src) > os.path.getmtime(_SO)))
+        if stale and not build_native() and not os.path.exists(_SO):
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
@@ -54,6 +57,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_void_p, ctypes.c_size_t]
         lib.aej_deflate_bound.restype = ctypes.c_size_t
         lib.aej_deflate_bound.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
+        lib.aej_replay_states.restype = ctypes.c_size_t
+        lib.aej_replay_states.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -90,3 +97,23 @@ def inflate(data: bytes, max_out: int) -> bytes:
     if n == 0:
         return zlib.decompress(data)
     return out.raw[:n]
+
+
+def replay_states(states, root_size: int):
+    """Preorder stack replay of quadtree states -> (sizes, ys, xs) int32
+    arrays, or None if the native library is unavailable (callers fall back
+    to the Python replay)."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    st = np.ascontiguousarray(states, dtype=np.uint8)
+    n = st.size
+    sizes = np.empty(n, np.int32)
+    ys = np.empty(n, np.int32)
+    xs = np.empty(n, np.int32)
+    m = lib.aej_replay_states(st.tobytes(), n, root_size,
+                              sizes.ctypes.data_as(ctypes.c_void_p),
+                              ys.ctypes.data_as(ctypes.c_void_p),
+                              xs.ctypes.data_as(ctypes.c_void_p))
+    return sizes[:m], ys[:m], xs[:m]

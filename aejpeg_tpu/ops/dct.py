@@ -26,15 +26,58 @@ def dct_matrix(size: int) -> np.ndarray:
     return d.astype(np.float32)
 
 
+# Up to this block size the 2-D DCT runs as ONE (n, s^2) @ (s^2, s^2)
+# matmul with the Kronecker-product matrix: small-minor-dim (n, s, s)
+# tensors tile to (8, 128) on TPU with up to 32x memory padding, so the
+# flat form is both the fast and the memory-sane layout.  Above it the
+# s^4 kron FLOPs and the (s^2)^2 matrix stop paying for themselves and
+# the separable two-matmul form is used ((s, s) >= the native tile).
+KRON_MAX = 32
+
+
+@functools.lru_cache(maxsize=None)
+def _kron_matrix(size: int, inverse: bool) -> np.ndarray:
+    """K such that vec(DCT2(X)) = vec(X) @ K (row-major vec), in f64."""
+    d = np.arange(size, dtype=np.float64)
+    k = d[:, None]
+    m = np.cos(np.pi * (2 * d[None, :] + 1) * k / (2 * size))
+    m *= np.sqrt(2.0 / size)
+    m[0, :] = np.sqrt(1.0 / size)
+    # forward: Y = D X D^T -> vec(Y)[k*s+l] = sum_ij X[i,j] D[k,i] D[l,j]
+    #   -> K = kron(D, D)^T;  inverse: X = D^T C D -> K = kron(D, D)
+    kron = np.kron(m, m)
+    return (kron if inverse else kron.T).astype(np.float32)
+
+
+def dct2_flat(vectors: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Forward 2-D DCT on row-major flattened blocks: (n, s*s) -> (n, s*s)."""
+    k = jnp.asarray(_kron_matrix(size, inverse=False))
+    return jnp.einsum("nk,kl->nl", vectors, k, precision="highest")
+
+
+def idct2_flat(vectors: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Inverse 2-D DCT on row-major flattened blocks."""
+    k = jnp.asarray(_kron_matrix(size, inverse=True))
+    return jnp.einsum("nk,kl->nl", vectors, k, precision="highest")
+
+
 def dct2(blocks: jnp.ndarray) -> jnp.ndarray:
     """Forward 2-D DCT-II over a batch: (..., s, s) -> (..., s, s)."""
-    d = jnp.asarray(dct_matrix(blocks.shape[-1]))
+    s = blocks.shape[-1]
+    if s <= KRON_MAX:
+        flat = blocks.reshape(blocks.shape[:-2] + (s * s,))
+        return dct2_flat(flat, s).reshape(blocks.shape)
+    d = jnp.asarray(dct_matrix(s))
     y = jnp.einsum("km,...mn->...kn", d, blocks, precision="highest")
     return jnp.einsum("...kn,ln->...kl", y, d, precision="highest")
 
 
 def idct2(coeffs: jnp.ndarray) -> jnp.ndarray:
     """Inverse 2-D DCT (DCT-III with orthonormal scaling)."""
-    d = jnp.asarray(dct_matrix(coeffs.shape[-1]))
+    s = coeffs.shape[-1]
+    if s <= KRON_MAX:
+        flat = coeffs.reshape(coeffs.shape[:-2] + (s * s,))
+        return idct2_flat(flat, s).reshape(coeffs.shape)
+    d = jnp.asarray(dct_matrix(s))
     y = jnp.einsum("mk,...mn->...kn", d, coeffs, precision="highest")
     return jnp.einsum("...kn,nl->...kl", y, d, precision="highest")

@@ -64,3 +64,14 @@ def zigzag_scatter(vectors: jnp.ndarray, size: int) -> jnp.ndarray:
     n = vectors.shape[0]
     idx = jnp.asarray(inverse_zigzag_indices(size))
     return vectors[:, idx].reshape(n, size, size)
+
+
+def zigzag_gather_flat(flat: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N, s*s) row-major raster -> (N, s*s) zigzag (stays 2-D: small-minor
+    3-D tensors pad up to 32x under TPU tiling)."""
+    return flat[:, jnp.asarray(zigzag_indices(size))]
+
+
+def zigzag_scatter_flat(vectors: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N, s*s) zigzag -> (N, s*s) row-major raster, staying 2-D."""
+    return vectors[:, jnp.asarray(inverse_zigzag_indices(size))]

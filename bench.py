@@ -62,7 +62,7 @@ def load_images():
 
 def main():
     from aejpeg_tpu.codec.batch_encode import encode_batch
-    from aejpeg_tpu.codec.pipeline import Codec
+    from aejpeg_tpu.codec.batch_decode import decode_batch
     from aejpeg_tpu.config import CodecConfig
     from aejpeg_tpu.metrics import psnr as psnr_fn
 
@@ -91,9 +91,24 @@ def main():
     comp_bytes = sum(len(x) for x in blobs)
     ratio = (b * h * w * 3) / comp_bytes
 
-    # decode + PSNR verification (once, unmeasured)
-    out = Codec().decompress(blobs[0])
-    p = float(psnr_fn(images[0].data, out.data))
+    # decode throughput (same accounting: transfers excluded; iterations
+    # keep images device-resident — the 25 MB/s tunnel pull is a harness
+    # artifact measured once below)
+    dev_out, _metas = decode_batch(blobs, materialize=False)  # warmup
+    dtim = {}
+    for _ in range(ITERS):
+        dev_out, _metas = decode_batch(blobs, timings=dtim,
+                                       materialize=False)
+    for k in dtim:
+        dtim[k] /= ITERS
+    out0 = np.asarray(dev_out[0], np.float32)  # one image for PSNR
+    print(f"per-batch decode stage times: "
+          f"{ {k: round(v, 3) for k, v in dtim.items()} }", file=sys.stderr)
+    dec_measured = sum(v for k, v in dtim.items()
+                       if k not in ("pull", "push"))
+    dec_rate = mpix / dec_measured
+
+    p = float(psnr_fn(images[0].data, out0))
 
     print(json.dumps({
         "metric": (f"encode Mpix/s/chip (LIVE 512x768 x{b} "
@@ -105,6 +120,7 @@ def main():
                    f"tunnel transfers excluded: push "
                    f"{timings.get('push', 0):.2f}s + pull "
                    f"{timings.get('pull', 0):.2f}s/batch; "
+                   f"decode {dec_rate:.1f} Mpix/s same accounting; "
                    f"PSNR {p:.2f} dB, CR {ratio:.1f}x)"),
         "value": round(value, 2),
         "unit": "Mpix/s",

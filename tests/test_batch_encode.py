@@ -122,3 +122,79 @@ def test_batch_shape_mismatch_raises(images):
     bad = ImageData.from_array(np.zeros((64, 64, 3), np.float32))
     with pytest.raises(ValueError):
         encode_batch(images + [bad], CodecConfig())
+
+
+# ---------------------------------------------------------------- decoder
+
+def test_decode_batch_matches_single(images):
+    from aejpeg_tpu.codec.batch_decode import decode_batch
+    cfg = CodecConfig("YCoCg", (20, 80), (4, 32))
+    blobs = encode_batch(images, cfg)
+    outs = decode_batch(blobs)
+    assert len(outs) == len(images)
+    for img, blob, out in zip(images, blobs, outs):
+        single = Codec().decompress(blob)
+        # identical jnp ops, but XLA batched matmuls may reassociate vs the
+        # single-image shapes: allow 1-2 ulp
+        np.testing.assert_allclose(out.data, single.data, rtol=0, atol=3e-6)
+        assert out.extension == single.extension
+        mse = np.mean((out.data - img.data) ** 2)
+        assert 10 * np.log10(1 / mse) > 25
+
+
+@pytest.mark.parametrize("shape", [(100, 120), (94, 50)],
+                         ids=["mild-overhang", "deep-reflect"])
+def test_decode_batch_boundary_shapes(shape):
+    import cv2 as cv
+    from aejpeg_tpu.codec.batch_decode import decode_batch
+    rng = np.random.default_rng(11)
+    h, w = shape
+    imgs = []
+    for _ in range(2):
+        small = rng.random((8, 9, 3), np.float32)
+        img = np.clip(cv.resize(small, (w, h),
+                                interpolation=cv.INTER_CUBIC), 0, 1)
+        imgs.append(ImageData.from_array(img.astype(np.float32)))
+    cfg = CodecConfig("YCbCr", (30, 70), (4, 64))
+    blobs = encode_batch(imgs, cfg)
+    for blob, out in zip(blobs, decode_batch(blobs)):
+        single = Codec().decompress(blob)
+        np.testing.assert_allclose(out.data, single.data, rtol=0, atol=3e-6)
+
+
+def test_decode_batch_rejects_mixed_settings(images):
+    from aejpeg_tpu.codec.batch_decode import decode_batch
+    a = encode_batch(images[:1], CodecConfig("YCoCg", (20, 80), (4, 32)))
+    b = encode_batch(images[:1], CodecConfig("YCbCr", (20, 80), (4, 32)))
+    with pytest.raises(ValueError):
+        decode_batch(a + b)
+
+
+def test_native_replay_matches_python(images):
+    """The C++ stack replay must reproduce the Python replay exactly."""
+    from aejpeg_tpu.codec import quadtree as qt
+    from aejpeg_tpu.io.container import ContainerReader
+    cfg = CodecConfig("YCoCg", (20, 80), (4, 32))
+    blob = encode_batch(images[:1], cfg)[0]
+    for payload in ContainerReader(blob).read_layers():
+        states = qt.unpack_states(payload.states_bytes, payload.bits_len)
+        # force the pure-Python path by replaying inline
+        sizes_p, ys_p, xs_p = [], [], []
+        stack = [(0, 0, payload.root_size)]
+        idx = 0
+        while stack and idx < len(states):
+            x, y, size = stack.pop()
+            st = states[idx]
+            idx += 1
+            if st == qt.STATE_LEAF:
+                sizes_p.append(size); ys_p.append(y); xs_p.append(x)
+            elif st == qt.STATE_SPLIT:
+                half = size // 2
+                stack.extend([(x + half, y + half, half),
+                              (x, y + half, half),
+                              (x + half, y, half), (x, y, half)])
+        sizes_n, ys_n, xs_n = qt.replay_positions(
+            states, payload.root_size, 0, 0)
+        np.testing.assert_array_equal(sizes_n, np.asarray(sizes_p))
+        np.testing.assert_array_equal(ys_n, np.asarray(ys_p))
+        np.testing.assert_array_equal(xs_n, np.asarray(xs_p))
