@@ -37,13 +37,14 @@ def _add_codec_args(p):
 
 
 def cmd_compress(args):
-    from .codec.pipeline import Codec
+    from .codec.stream import encode_stream
     from .io.image import ImageData
-    codec = Codec(_cfg_from_args(args))
     os.makedirs(args.output, exist_ok=True)
-    for path in args.inputs:
-        img = ImageData.load(path)
-        blob = codec.compress(img)
+    images = [ImageData.load(p) for p in args.inputs]
+    # continuous batching: same-shape images share device batches, host
+    # entropy overlaps device compute of the next batch
+    blobs = encode_stream(images, _cfg_from_args(args))
+    for path, img, blob in zip(args.inputs, images, blobs):
         out = Path(args.output) / (Path(path).stem + ".ajpg")
         out.write_bytes(blob)
         ratio = img.raw_rgb_bytes / len(blob)
@@ -51,11 +52,10 @@ def cmd_compress(args):
 
 
 def cmd_decompress(args):
-    from .codec.pipeline import Codec
+    from .codec.stream import decode_stream
     os.makedirs(args.output, exist_ok=True)
-    for path in args.inputs:
-        codec = Codec()
-        img = codec.decompress(Path(path).read_bytes())
+    blobs = [Path(p).read_bytes() for p in args.inputs]
+    for path, img in zip(args.inputs, decode_stream(blobs)):
         ext = (img.extension or ".png").lstrip(".")
         out = Path(args.output) / (Path(path).stem + f"_decompressed.{ext}")
         img.save(str(out))

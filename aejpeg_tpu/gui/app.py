@@ -80,7 +80,7 @@ class AejpegApp:
         out = self.codec.decompress(blob)
         # ratio vs raw RGB bytes, as the reference reports it
         # (reference: src/gui/main_frame.py:148-151)
-        return out, img.raw_rgb_bytes() / len(blob)
+        return out, img.raw_rgb_bytes / len(blob)
 
     # -- batch actions -----------------------------------------------------
     def compress_selected(self) -> None:

@@ -95,6 +95,27 @@ def test_plan_batches_groups_by_shape(tmp_path):
         assert len(shapes) == 1
 
 
+def test_process_preview_logic_headless():
+    """The preview pipeline (compress -> decompress -> ratio) must work
+    without a display: exercised via the unbound method with a stub."""
+    import cv2 as cv
+    from aejpeg_tpu.codec.pipeline import Codec
+    from aejpeg_tpu.gui.app import AejpegApp
+
+    rng = np.random.default_rng(2)
+    small = rng.random((8, 8, 3), np.float32)
+    arr = np.clip(cv.resize(small, (64, 64),
+                            interpolation=cv.INTER_CUBIC), 0, 1)
+    img = ImageData.from_array(arr.astype(np.float32), extension=".png")
+
+    class Stub:
+        codec = Codec(PanelState().to_config())
+
+    out, ratio = AejpegApp._process_preview(Stub(), img)
+    assert out.data.shape == img.data.shape
+    assert ratio > 1.0
+
+
 # ------------------------------------------------------------- widget layer
 
 def _display_available():
