@@ -276,19 +276,55 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
             plans.append([qt.uniform_plan(lh, lw, mn)
                           for (lh, lw) in layer_shapes])
     else:
+        from ..native.entropy import build_plan as native_build_plan
         layout, _ = _level_layout(layer_shapes, band)
         levels_np = np.asarray(packed_levels)       # one transfer
-        per = [[{} for _ in range(3)] for _ in range(b)]
+        # per-layer contiguous slice of the packed row + per-k offsets
+        per_layer: Dict[int, Tuple[int, int, np.ndarray]] = {}
         for li, k, g, off in layout:
             if k > k_hi:
                 continue
-            block = levels_np[:, off:off + g * g].reshape(b, g, g)
-            for bi in range(b):
-                per[bi][li][k] = block[bi].astype(bool)
+            start, end, offs = per_layer.get(li, (off, off, []))
+            if not isinstance(offs, list):
+                offs = list(offs)
+            offs.append(off)
+            per_layer[li] = (min(start, off), max(end, off + g * g), offs)
+        native_ok = True
         for bi in range(b):
-            plans.append([
-                qt.plan_from_levels(per[bi][li], *layer_shapes[li], mx, mn)
-                for li in range(3)])
+            row = levels_np[bi]
+            plan_layers = []
+            for li in range(3):
+                lh, lw = layer_shapes[li]
+                root = qt.root_size_for(lh, lw)
+                start, end, offs = per_layer[li]
+                res = native_build_plan(
+                    row[start:end],
+                    np.asarray(offs, np.int64) - start, k_lo, k_hi,
+                    root, lh, lw, mx, mn) if native_ok else None
+                if res is None:
+                    native_ok = False
+                    break
+                states, sizes_a, ys_a, xs_a = res
+                plan_layers.append(qt.QuadPlan(
+                    root_size=root, height=lh, width=lw, states=states,
+                    leaf_sizes=sizes_a, leaf_y=ys_a, leaf_x=xs_a))
+            if not native_ok:
+                break
+            plans.append(plan_layers)
+        if not native_ok:
+            plans.clear()
+            per = [[{} for _ in range(3)] for _ in range(b)]
+            for li, k, g, off in layout:
+                if k > k_hi:
+                    continue
+                block = levels_np[:, off:off + g * g].reshape(b, g, g)
+                for bi in range(b):
+                    per[bi][li][k] = block[bi].astype(bool)
+            for bi in range(b):
+                plans.append([
+                    qt.plan_from_levels(per[bi][li], *layer_shapes[li],
+                                        mx, mn)
+                    for li in range(3)])
     mark("plans")
 
     # ---- global buckets

@@ -556,6 +556,77 @@ size_t aej_replay_states(const unsigned char* states, size_t n_states,
   return out;
 }
 
+// Preorder quadtree plan from pooled has-edge level masks — the native
+// version of codec/quadtree.py plan_from_levels.  One stack DFS emits the
+// 2-bit state stream and the leaf (size, y, x) lists in preorder directly
+// (no sort).  Split predicate parity with the reference
+// (src/jpeg/quadtree.py:118): split iff size > max_size, or
+// (size > min_size AND the node's has-edge bit is set).  Nodes whose
+// origin lies outside the (h, w) image serialize as ABSENT.
+//
+// levels: concatenated row-major g_k x g_k uint8 masks (g_k = root >> k)
+// for k = k_lo..k_hi; level_offsets[k - k_lo] indexes each mask's start.
+// Outputs: states (capacity >= total visited nodes), sizes/ys/xs
+// (capacity >= leaf count).  Writes the state count to *n_states_out and
+// returns the leaf count.
+size_t aej_build_plan(const unsigned char* levels,
+                      const int64_t* level_offsets, int k_lo, int k_hi,
+                      int root_size, int h, int w, int max_size,
+                      int min_size, unsigned char* states, int32_t* sizes,
+                      int32_t* ys, int32_t* xs, size_t* n_states_out) {
+  struct Node {
+    int32_t x, y;
+    int32_t k;
+  };
+  int lmax = 0;
+  while ((1 << (lmax + 1)) <= root_size) ++lmax;
+  int kmin = 0;
+  while ((1 << (kmin + 1)) <= min_size) ++kmin;
+  if (kmin > lmax) kmin = lmax;
+
+  std::vector<Node> stack;
+  stack.reserve(256);
+  stack.push_back({0, 0, lmax});
+  size_t ns = 0, nl = 0;
+  while (!stack.empty()) {
+    Node nd = stack.back();
+    stack.pop_back();
+    if (nd.x >= w || nd.y >= h) {
+      states[ns++] = 2;  // absent
+      continue;
+    }
+    int s = 1 << nd.k;
+    bool split = false;
+    if (nd.k > kmin) {
+      if (s > max_size) {
+        split = true;
+      } else if (s > min_size && nd.k >= k_lo && nd.k <= k_hi) {
+        int g = root_size >> nd.k;
+        split = levels[level_offsets[nd.k - k_lo] +
+                       static_cast<int64_t>(nd.y >> nd.k) * g +
+                       (nd.x >> nd.k)] != 0;
+      }
+    }
+    if (split) {
+      states[ns++] = 1;
+      int32_t half = s >> 1;
+      int32_t ck = nd.k - 1;
+      stack.push_back({nd.x + half, nd.y + half, ck});
+      stack.push_back({nd.x, nd.y + half, ck});
+      stack.push_back({nd.x + half, nd.y, ck});
+      stack.push_back({nd.x, nd.y, ck});
+    } else {
+      states[ns++] = 0;
+      sizes[nl] = s;
+      ys[nl] = nd.y;
+      xs[nl] = nd.x;
+      ++nl;
+    }
+  }
+  *n_states_out = ns;
+  return nl;
+}
+
 // Upper bound for aej_deflate_parallel output.
 size_t aej_deflate_bound(size_t len, size_t chunk_size) {
   if (chunk_size < 1 << 16) chunk_size = 1 << 16;

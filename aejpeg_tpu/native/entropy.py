@@ -61,6 +61,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.aej_replay_states.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.aej_build_plan.restype = ctypes.c_size_t
+        lib.aej_build_plan.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -117,3 +123,36 @@ def replay_states(states, root_size: int):
                               ys.ctypes.data_as(ctypes.c_void_p),
                               xs.ctypes.data_as(ctypes.c_void_p))
     return sizes[:m], ys[:m], xs[:m]
+
+
+def build_plan(levels_concat, level_offsets, k_lo: int, k_hi: int,
+               root_size: int, h: int, w: int, max_size: int,
+               min_size: int):
+    """Native preorder quadtree plan from pooled has-edge masks.  Returns
+    (states, sizes, ys, xs) int arrays or None when unavailable."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    lv = np.ascontiguousarray(levels_concat, dtype=np.uint8)
+    offs = np.ascontiguousarray(level_offsets, dtype=np.int64)
+    # visited nodes <= 4/3 * (root/min)^2 + depth slack
+    kmin = max(min_size.bit_length() - 1, 0)
+    g_min = max(root_size >> kmin, 1)
+    cap = (4 * g_min * g_min) // 3 + 64
+    states = np.empty(cap, np.uint8)
+    sizes = np.empty(cap, np.int32)
+    ys = np.empty(cap, np.int32)
+    xs = np.empty(cap, np.int32)
+    n_states = ctypes.c_size_t(0)
+    nl = lib.aej_build_plan(
+        lv.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        k_lo, k_hi, root_size, h, w, max_size, min_size,
+        states.ctypes.data_as(ctypes.c_void_p),
+        sizes.ctypes.data_as(ctypes.c_void_p),
+        ys.ctypes.data_as(ctypes.c_void_p),
+        xs.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(n_states))
+    return (states[:n_states.value].copy(), sizes[:nl].copy(),
+            ys[:nl].copy(), xs[:nl].copy())

@@ -118,3 +118,22 @@ def test_visualizer(small_images, tmp_path):
     t = visualize(img, str(tmp_path), CodecConfig("YCoCg", (40, 80), (4, 16)))
     assert (tmp_path / "luminance_quadtree.png").exists()
     assert t["luminance_leaves"] > 0
+
+
+def test_speed_table_runs(tmp_path):
+    """Speed harness (reference test_compression_speed.py equivalent):
+    returns one row per block size with sane fields."""
+    import imageio.v3 as iio
+    import cv2 as cv
+    rng = np.random.default_rng(0)
+    small = rng.random((8, 8, 3), np.float32)
+    img = np.clip(cv.resize(small, (64, 64),
+                            interpolation=cv.INTER_CUBIC), 0, 1)
+    p = tmp_path / "img.png"
+    iio.imwrite(p, (img * 255).astype(np.uint8))
+    from aejpeg_tpu.harness.speed import run_speed_table
+    rows = run_speed_table(str(p), iters=1, block_sizes=[8, 16])
+    assert [r["block"] for r in rows] == [8, 16]
+    for r in rows:
+        assert r["compress_s"] > 0 and r["decompress_s"] > 0
+        assert r["bytes"] > 0

@@ -121,3 +121,38 @@ def test_uniform_grid_when_min_equals_max():
     plan = qt.build_plan(edge, 8, 8)
     assert set(plan.leaf_sizes.tolist()) == {8}
     assert len(plan.leaf_sizes) == 16
+
+
+def test_native_build_plan_matches_python():
+    """The C++ DFS planner must emit identical states and preorder leaves
+    to the Python mask-pyramid planner over random edge maps."""
+    from aejpeg_tpu.codec import quadtree as qt
+    from aejpeg_tpu.native.entropy import build_plan as native_build_plan
+    import numpy as np
+    rng = np.random.default_rng(3)
+    for (h, w, mx, mn) in [(96, 128, 32, 4), (100, 120, 64, 4),
+                           (50, 94, 64, 8), (64, 64, 8, 8),
+                           (7, 9, 16, 4)]:
+        edge = (rng.random((h, w)) < 0.02).astype(np.float32)
+        want = qt.build_plan(edge, mx, mn)
+        if mx == mn:
+            continue  # uniform path never consults levels
+        root = qt.root_size_for(h, w)
+        pyr = qt.edge_pyramid(edge, root)
+        k_lo = mn.bit_length()      # log2(mn) + 1
+        k_hi = mx.bit_length() - 1  # log2(mx)
+        concat, offs, pos = [], [], 0
+        for k in range(k_lo, k_hi + 1):
+            g = root >> k
+            m = pyr[k][:g, :g].astype(np.uint8)
+            concat.append(m.ravel())
+            offs.append(pos)
+            pos += g * g
+        res = native_build_plan(np.concatenate(concat), np.asarray(offs),
+                                k_lo, k_hi, root, h, w, mx, mn)
+        assert res is not None
+        states, sizes, ys, xs = res
+        np.testing.assert_array_equal(states, want.states)
+        np.testing.assert_array_equal(sizes, want.leaf_sizes)
+        np.testing.assert_array_equal(ys, want.leaf_y)
+        np.testing.assert_array_equal(xs, want.leaf_x)
