@@ -100,7 +100,10 @@ def clahe(img_u8: jnp.ndarray, clip_limit: float = 0.75,
 
     TPU path: the per-pixel LUT lookup is a one-hot (HW, 256) bf16 matmul
     against the (256, T) LUT matrix (MXU) followed by the precomputed
-    bilinear tile-weight contraction — per-lane gathers are ~50x slower."""
+    bilinear tile-weight contraction — per-lane gathers are ~50x slower.
+    Both are fused into one Pallas kernel so the one-hot tensor never
+    reaches HBM."""
+    from .pallas_kernels import clahe_lut_apply
     h, w = img_u8.shape
     gh, gw = grid
     th = -(-h // gh)
@@ -109,12 +112,9 @@ def clahe(img_u8: jnp.ndarray, clip_limit: float = 0.75,
     padded = _reflect101_pad(img_u8, 0, ph, 0, pw)
     luts = _clahe_luts(padded, th, tw, gh, gw, clip_limit)   # (gh, gw, 256)
 
-    oh = jax.nn.one_hot(img_u8.astype(jnp.int32), 256, dtype=jnp.bfloat16)
-    lut_mat = luts.reshape(gh * gw, 256).astype(jnp.bfloat16)  # exact <= 255
-    contrib = jnp.einsum("hwb,tb->hwt", oh, lut_mat,
-                         preferred_element_type=jnp.float32)
+    lut_mat = luts.reshape(gh * gw, 256).T.astype(jnp.bfloat16)  # exact <=255
     wts = jnp.asarray(_clahe_tile_weights(h, w, th, tw, gh, gw))
-    out = jnp.einsum("hwt,hwt->hw", wts, contrib)
+    out = clahe_lut_apply(img_u8.astype(jnp.int32), lut_mat, wts)
     return jnp.clip(jnp.floor(out + 0.5), 0, 255).astype(jnp.uint8)
 
 
@@ -287,25 +287,57 @@ def _canny_from_gradients(gx: jnp.ndarray, gy: jnp.ndarray,
 
     strong = nms & (mag > high)
     weak = nms & (mag > low)
+    return _hysteresis(strong, weak).astype(jnp.float32)
 
-    # hysteresis: propagate strong through weak (8-connected) to fixpoint
+
+def _pack_bits(mask: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) bool -> (H, ceil(W/32)) uint32, bit i of word w = column
+    w*32+i (LSB = smallest x)."""
+    h, w = mask.shape
+    pad = (-w) % 32
+    if pad:
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    u = mask.reshape(h, -1, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return (u * weights).sum(axis=-1, dtype=jnp.uint32)
+
+
+def _unpack_bits(packed: jnp.ndarray, w: int) -> jnp.ndarray:
+    h = packed.shape[0]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(h, -1)[:, :w].astype(jnp.bool_)
+
+
+def _hysteresis(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
+    """Propagate strong through weak (8-connected) to fixpoint.
+
+    The naive formulation dilates (H, W) bool maps one pixel per iteration:
+    at ~1 px/step a long weak chain costs hundreds of full-image passes.
+    Bit-packing 32 columns per uint32 word cuts the per-iteration memory
+    traffic 32x (the VPU does the shifts as word ops), which makes the
+    O(chain-length) fixpoint cheap in wall clock."""
+    h, w = strong.shape
+    s = _pack_bits(strong)
+    k = _pack_bits(weak)
+
+    def hshift(p):
+        # pixel-space left/right neighbors within and across words
+        left = (p << 1) | jnp.pad(p, ((0, 0), (1, 0)))[:, :-1] >> 31
+        right = (p >> 1) | jnp.pad(p, ((0, 0), (0, 1)))[:, 1:] << 31
+        return p | left | right
+
     def body(state):
         cur, _ = state
-        grown = cur
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                grown = grown | shift(cur, dy, dx)
-        new = weak & grown | cur
+        row = hshift(cur)
+        grown = row | jnp.pad(row, ((1, 0), (0, 0)))[:-1] \
+            | jnp.pad(row, ((0, 1), (0, 0)))[1:]
+        new = (k & grown) | cur
         return new, jnp.any(new != cur)
 
-    def cond(state):
-        return state[1]
-
-    init = (strong, jnp.asarray(True))
-    final, _ = jax.lax.while_loop(cond, lambda s: body(s), init)
-    return final.astype(jnp.float32)
+    final, _ = jax.lax.while_loop(lambda st: st[1], body,
+                                  (s, jnp.asarray(True)))
+    return _unpack_bits(final, w)
 
 
 def _percentile_from_hist(csum: jnp.ndarray, n: int, q: float) -> jnp.ndarray:
@@ -319,27 +351,48 @@ def _percentile_from_hist(csum: jnp.ndarray, n: int, q: float) -> jnp.ndarray:
     return v0.astype(jnp.float32) * (1 - frac) + v1.astype(jnp.float32) * frac
 
 
+def _value_at_rank(img_u8: jnp.ndarray, target: int) -> jnp.ndarray:
+    """min{u in [0,255] : #(img <= u) >= target} — the sorted value at index
+    target-1 — by 8-step binary search of compare-count reductions (~8
+    passes over the uint8 data instead of a 256-compare/pixel histogram)."""
+    img = img_u8.astype(jnp.int32)
+
+    def step(_, state):
+        lo, hi = state  # invariant: answer in (lo, hi]
+        mid = (lo + hi) >> 1
+        c = (img <= mid).sum(dtype=jnp.int32)
+        hit = c >= target
+        return jnp.where(hit, lo, mid), jnp.where(hit, mid, hi)
+
+    _, hi = jax.lax.fori_loop(
+        0, 8, step, (jnp.int32(-1), jnp.int32(255)))
+    return hi
+
+
 def percentile_u8(img_u8: jnp.ndarray, q: float) -> jnp.ndarray:
-    """np.percentile(img, q) with linear interpolation, via a 256-bin
-    histogram (exact for uint8 data)."""
-    from .pallas_kernels import histogram256
-    hist = histogram256(img_u8.astype(jnp.int32).reshape(1, -1))[0]
-    return _percentile_from_hist(jnp.cumsum(hist), img_u8.size, q)
+    """np.percentile(img, q) with linear interpolation (exact for uint8
+    data; `q` is static so rank/fraction stay in host float64)."""
+    n = img_u8.size
+    pos = q / 100.0 * (n - 1)
+    k = int(math.floor(pos))
+    frac = pos - k
+    v0 = _value_at_rank(img_u8, k + 1).astype(jnp.float32)
+    if frac == 0.0 or k + 1 >= n:
+        return v0
+    v1 = _value_at_rank(img_u8, k + 2).astype(jnp.float32)
+    return v0 * np.float32(1 - frac) + v1 * np.float32(frac)
 
 
 @jax.jit
 def canny(layer: jnp.ndarray) -> jnp.ndarray:
     """Full reference edge stack on one float32 layer -> {0,1} float32
     (src/jpeg/edge_detection.py:64-86)."""
-    from .pallas_kernels import histogram256
     u8 = to_uint8(layer)
     eq = clahe(u8, 0.75, (4, 4))
     blur = gaussian_blur_u8(eq, 3)
     blur = bilateral_u8(blur, 5, 75.0, 75.0)
-    csum = jnp.cumsum(
-        histogram256(blur.astype(jnp.int32).reshape(1, -1))[0])
-    low = _percentile_from_hist(csum, blur.size, 10.0)
-    high = _percentile_from_hist(csum, blur.size, 30.0)
+    low = percentile_u8(blur, 10.0)
+    high = percentile_u8(blur, 30.0)
     gx, gy = sobel_xy(blur)
     # OpenCV L2gradient squares the thresholds
     return _canny_from_gradients(gx, gy, low * low, high * high, l2=True)

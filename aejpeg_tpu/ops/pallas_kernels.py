@@ -59,3 +59,53 @@ def histogram256(values: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((t, 256), jnp.int32),
         interpret=_interpret(),
     )(values)
+
+
+_LUT_ROWS = 8
+
+
+def _lut_apply_kernel(img_ref, lut_ref, wts_ref, out_ref):
+    """img (bh, W) int32 in [0,255]; lut (256, T) bf16 (values <= 255,
+    exact); wts (bh, W, T) f32 -> out (bh, W) f32 = sum_t wts*lut[img, t].
+
+    The one-hot (bh*W, 256) tensor lives only in VMEM/registers here — the
+    XLA formulation materializes it in HBM (~512 bytes of traffic per
+    pixel), which made LUT application the most expensive CLAHE stage."""
+    bh, w = img_ref.shape
+    t = lut_ref.shape[1]
+    bins = jax.lax.broadcasted_iota(jnp.int32, (bh, w, 256), 2)
+    oh = (img_ref[:][:, :, None] == bins).astype(jnp.bfloat16)
+    contrib = jax.lax.dot_general(
+        oh, lut_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (bh, W, T)
+    out_ref[:] = (wts_ref[:] * contrib).sum(axis=-1)
+
+
+def clahe_lut_apply(img: jnp.ndarray, lut: jnp.ndarray,
+                    wts: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) int32 pixel values, (256, T) bf16 per-tile LUTs, (H, W, T)
+    f32 bilinear tile weights -> (H, W) f32 interpolated LUT output."""
+    h, w = img.shape
+    t = lut.shape[1]
+    pad = (-h) % _LUT_ROWS
+    if pad:
+        img = jnp.pad(img, ((0, pad), (0, 0)))
+        wts = jnp.pad(wts, ((0, pad), (0, 0), (0, 0)))
+    hp = h + pad
+    out = pl.pallas_call(
+        _lut_apply_kernel,
+        grid=(hp // _LUT_ROWS,),
+        in_specs=[
+            pl.BlockSpec((_LUT_ROWS, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((256, t), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LUT_ROWS, w, t), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_LUT_ROWS, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
+        interpret=_interpret(),
+    )(img, lut, wts)
+    return out[:h]
