@@ -47,6 +47,13 @@ def _pool_any(mask: jnp.ndarray, factor: int) -> jnp.ndarray:
         axis=(1, 3))
 
 
+def _plane_shape(layer_shapes) -> Tuple[int, int]:
+    """Stacked-plane shape: layer 0 rounded up to space-to-depth tiles."""
+    ph, pw = layer_shapes[0]
+    t = dct.TILE
+    return -(-ph // t) * t, -(-pw // t) * t
+
+
 @functools.partial(jax.jit, static_argnames=("space", "layer_shapes",
                                              "level_band"))
 def _stage_a(batch: jnp.ndarray, space: str,
@@ -63,7 +70,8 @@ def _stage_a(batch: jnp.ndarray, space: str,
     mids, scales = color.normalization_constants(space)
     converted = color.convert("sRGB", space, batch)
 
-    ph, pw = layer_shapes[0]
+    # planes padded to TILE multiples: stage_b space-to-depths them once
+    ph, pw = _plane_shape(layer_shapes)
     norms, packed = [], []
     for i, (lh, lw) in enumerate(layer_shapes):
         layer = resize.resize2d(converted[..., i], (lh, lw), "area")
@@ -132,33 +140,29 @@ def _finish_bucket(blocks: jnp.ndarray, plane_idx: jnp.ndarray,
     return zigzag.zigzag_gather(levels).astype(jnp.int16)
 
 
-def _bucket_coeffs_fast(planes: jnp.ndarray, flat_idx: jnp.ndarray,
-                        inv_hi3: jnp.ndarray, inv_lo3: jnp.ndarray,
-                        size: int) -> jnp.ndarray:
-    """Interior-block bucket: quadtree leaves are size-aligned (a level-k
-    node's origin is a multiple of 2^k), so interior blocks are whole tiles
-    of the size-s space-to-depth layout.  One row-gather with the tile
-    minor dims intact replaces the per-element gather — ~40x faster on the
-    TPU gather unit.  For s <= KRON_MAX everything stays 2-D (n, s*s):
-    (n, s, s) tensors tile to (8, 128) with up to 32x memory padding."""
-    p, ph, pw = planes.shape
-    gh, gw = ph // size, pw // size
-    plane_idx = flat_idx // (gh * gw)
-    if size <= dct.KRON_MAX:
-        tiles = planes[:, :gh * size, :gw * size].reshape(
-            p, gh, size, gw, size).transpose(0, 1, 3, 2, 4).reshape(
-            p * gh * gw, size * size)
-        blocks = tiles[flat_idx]
-        coeffs = dct.dct2_flat(blocks, size)
-        inv_hi = inv_hi3.reshape(3, -1)[plane_idx % 3]
-        inv_lo = inv_lo3.reshape(3, -1)[plane_idx % 3]
-        levels = quant.quantize(coeffs, inv_hi, inv_lo)
-        return zigzag.zigzag_gather_flat(levels, size).astype(jnp.int16)
-    tiles = planes[:, :gh * size, :gw * size].reshape(
-        p, gh, size, gw, size).transpose(0, 1, 3, 2, 4).reshape(
-        p * gh * gw, size, size)
-    blocks = tiles[flat_idx]
-    return _finish_bucket(blocks, plane_idx, inv_hi3, inv_lo3)
+def _bucket_coeffs_tiled(tiles8: jnp.ndarray, idx8: jnp.ndarray,
+                         inv_hi_z: jnp.ndarray, inv_lo_z: jnp.ndarray,
+                         size: int, kind: str, gsize: int) -> jnp.ndarray:
+    """Interior-block bucket over the SHARED 8x8 space-to-depth layout.
+
+    Quadtree leaves are size-aligned, so an interior size-s (s >= 8) block
+    is exactly (s/8)^2 whole rows of tiles8; a sibling quad of four 4x4
+    leaves is exactly one row.  One row-gather (64-wide rows: no (8,128)
+    tiling waste, good gather granularity) plus ONE fused matmul that
+    folds subtile->raster permutation, Kronecker 2-D DCT, and the zigzag
+    output permutation (see ops/dct.py) — quantization tables arrive
+    zigzag-permuted so no per-lane gather remains."""
+    if kind == "quad":
+        mz, k2 = dct.quad4_zigzag_matrix(), 1
+    else:
+        mz, k2 = dct.tiled_zigzag_matrix(size), (size // 8) ** 2
+    g = tiles8[idx8]                                    # (cap*k2, 64)
+    x = g.reshape(-1, k2 * 64)
+    y = jnp.einsum("nk,kl->nl", x, jnp.asarray(mz), precision="highest")
+    plane_idx = idx8.reshape(-1, k2)[:, 0] // gsize
+    levels = quant.quantize(y, inv_hi_z[plane_idx % 3],
+                            inv_lo_z[plane_idx % 3])
+    return levels.astype(jnp.int16)
 
 
 def _bucket_coeffs(planes: jnp.ndarray, plane_idx: jnp.ndarray,
@@ -186,21 +190,28 @@ def _bucket_coeffs(planes: jnp.ndarray, plane_idx: jnp.ndarray,
     return _finish_bucket(blocks, plane_idx, inv_hi3, inv_lo3)
 
 
-@functools.partial(jax.jit, static_argnames=("sizes",))
-def _stage_b(planes: jnp.ndarray, per_size: Tuple, sizes: Tuple[int, ...]
-             ) -> Tuple[jnp.ndarray, ...]:
+@functools.partial(jax.jit, static_argnames=("sizes", "kinds"))
+def _stage_b(planes: jnp.ndarray, per_size: Tuple, sizes: Tuple[int, ...],
+             kinds: Tuple[str, ...]) -> Tuple[jnp.ndarray, ...]:
     """All size buckets in ONE dispatch (each eager call pays the host-link
-    round-trip).  per_size[i] is either a 3-tuple (flat_idx, inv_hi3,
-    inv_lo3) for the aligned fast path or a 7-tuple (plane_idx, ys, xs,
-    lim_h, lim_w, inv_hi3, inv_lo3) for the boundary path; sizes[i] may
-    repeat (one fast + one boundary bucket per size)."""
+    round-trip).  kinds[i] selects the path: 'tiled'/'quad' buckets are
+    3-tuples (idx8, inv_hi_z, inv_lo_z) over the shared space-to-depth
+    layout; 'slow' boundary buckets are 7-tuples (plane_idx, ys, xs,
+    lim_h, lim_w, inv_hi3, inv_lo3).  sizes[i] may repeat."""
+    p, ph, pw = planes.shape
+    gh8, gw8 = ph // dct.TILE, pw // dct.TILE
+    tiles8 = None
+    if any(k != "slow" for k in kinds):
+        tiles8 = planes.reshape(p, gh8, dct.TILE, gw8, dct.TILE).transpose(
+            0, 1, 3, 2, 4).reshape(p * gh8 * gw8, dct.TILE * dct.TILE)
     out = []
-    for i, s in enumerate(sizes):
+    for i, (s, kind) in enumerate(zip(sizes, kinds)):
         args = per_size[i]
-        if len(args) == 3:
-            out.append(_bucket_coeffs_fast(planes, *args, size=s))
-        else:
+        if kind == "slow":
             out.append(_bucket_coeffs(planes, *args, size=s))
+        else:
+            out.append(_bucket_coeffs_tiled(tiles8, *args, size=s,
+                                            kind=kind, gsize=gh8 * gw8))
     return tuple(out)
 
 
@@ -216,6 +227,19 @@ def _sync(tree) -> None:
     through the dev-harness tunnel)."""
     leaf = jax.tree_util.tree_leaves(tree)[-1]
     np.asarray(leaf.ravel()[:1])
+
+
+@jax.jit
+def _first_elem_sum(leaves) -> jnp.ndarray:
+    return sum(jnp.asarray(x).ravel()[0].astype(jnp.float32)
+               for x in jax.tree_util.tree_leaves(leaves))
+
+
+def _sync_all(tree) -> None:
+    """Force EVERY leaf's transfer/execution with a single scalar pull
+    (syncing only the last leaf lets in-flight uploads bleed into the next
+    stage's wall time on slow dev links)."""
+    np.asarray(_first_elem_sum(tree))
 
 
 def encode_batch(images: Sequence[ImageData], config: CodecConfig,
@@ -344,33 +368,75 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
             inv_tables[size] = (np.stack(his), np.stack(los))
         return inv_tables[size]
 
-    # gather all leaves per size, split into interior blocks (whole tiles
-    # of the space-to-depth layout: one fast aligned row-gather) and
-    # boundary blocks that reflect-pad against their layer bounds
-    ph, pw = layer_shapes[0]
-    fast_entries: Dict[int, List] = {}
+    def inv_for_z(size: int, quad: bool):
+        """Zigzag-permuted flat tables for the tiled/quad matmul paths."""
+        his, los = inv_for(size)
+        zz = zigzag.zigzag_indices(size)
+        hz, lz = his.reshape(3, -1)[:, zz], los.reshape(3, -1)[:, zz]
+        if quad:
+            hz, lz = np.tile(hz, (1, 4)), np.tile(lz, (1, 4))
+        return hz, lz
+
+    # gather all leaves per size: interior blocks ride the shared 8x8
+    # space-to-depth layout ((s/8)^2 whole rows per block; 4x4 sibling
+    # quads one row), boundary blocks reflect-pad against layer bounds
+    ph, pw = _plane_shape(layer_shapes)
+    gh8, gw8 = ph // dct.TILE, pw // dct.TILE
+    tiled_entries: Dict[int, List] = {}
+    quad_entries: List = []
     slow_entries: Dict[int, List] = {}
     for bi in range(b):
         for li in range(3):
             plan = plans[bi][li]
             lh, lw = layer_shapes[li]
+            base8 = (bi * 3 + li) * gh8 * gw8
             for s, idx in plan.buckets().items():
                 ly = plan.leaf_y[idx]
                 lx = plan.leaf_x[idx]
                 interior = (ly + s <= lh) & (lx + s <= lw)
-                if interior.any():
-                    sel = np.nonzero(interior)[0]
-                    gh, gw = ph // s, pw // s
-                    flat = ((bi * 3 + li) * gh * gw
-                            + (ly[sel] // s) * gw + lx[sel] // s)
-                    fast_entries.setdefault(s, []).append(
-                        (bi, li, flat.astype(np.int32), idx[sel]))
-                if not interior.all():
-                    sel = np.nonzero(~interior)[0]
+                sel = np.nonzero(interior)[0]
+                orph = np.zeros(0, np.int64)
+                if s >= dct.TILE and len(sel):
+                    k = s // dct.TILE
+                    start = base8 + (ly[sel] // 8) * gw8 + lx[sel] // 8
+                    offs = (np.arange(k, dtype=np.int64)[:, None] * gw8
+                            + np.arange(k, dtype=np.int64)[None, :]).ravel()
+                    idx8 = (start.astype(np.int64)[:, None]
+                            + offs[None, :]).ravel()
+                    tiled_entries.setdefault(s, []).append(
+                        (bi, li, idx8.astype(np.int32), idx[sel]))
+                elif len(sel):  # s == 4: group preorder sibling quads
+                    y, x, ii = ly[sel], lx[sel], idx[sel]
+                    n = len(sel)
+                    qs = np.zeros(n, bool)
+                    if n >= 4:
+                        qs[:n - 3] = (
+                            (y[:-3] % 8 == 0) & (x[:-3] % 8 == 0)
+                            & (y[1:-2] == y[:-3]) & (x[1:-2] == x[:-3] + 4)
+                            & (y[2:-1] == y[:-3] + 4) & (x[2:-1] == x[:-3])
+                            & (y[3:] == y[:-3] + 4) & (x[3:] == x[:-3] + 4)
+                            & (ii[3:] == ii[:-3] + 3))
+                    starts = np.nonzero(qs)[0]
+                    cov = np.zeros(n, bool)
+                    if len(starts):
+                        rows8 = base8 + (y[starts] // 8) * gw8 \
+                            + x[starts] // 8
+                        quad_entries.append((bi, li,
+                                             rows8.astype(np.int32),
+                                             ii[starts]))
+                        cov[(starts[:, None] + np.arange(4)).ravel()] = True
+                    orph = np.nonzero(~cov)[0]
+                # one slow entry per (bi, li, s): quad orphans merged with
+                # boundary blocks (two entries would collide in `slices`)
+                nsel = np.nonzero(~interior)[0]
+                if len(orph) or len(nsel):
+                    sy = np.concatenate([ly[sel][orph], ly[nsel]])
+                    sx = np.concatenate([lx[sel][orph], lx[nsel]])
+                    si = np.concatenate([idx[sel][orph], idx[nsel]])
                     slow_entries.setdefault(s, []).append(
-                        (bi, li, ly[sel], lx[sel], idx[sel]))
+                        (bi, li, sy, sx, si))
 
-    # bucket list: (size, kind) with kind in {fast, slow}
+    # bucket list: (size, kind) with kind in {tiled, quad, slow}
     results: Dict[Tuple[int, str], np.ndarray] = {}
     counts: Dict[Tuple[int, str], int] = {}
     slices: Dict[Tuple[int, int, int, str],
@@ -378,22 +444,28 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
     sizes_list: List[int] = []
     kinds: List[str] = []
     per_size = []
-    for s in sorted(fast_entries):
-        items = fast_entries[s]
-        n = sum(len(it[2]) for it in items)
+
+    def add_rowgather_bucket(s: int, kind: str, items: List) -> None:
+        k2 = 1 if kind == "quad" else (s // dct.TILE) ** 2
+        n = sum(len(it[3]) for it in items)
         cap = _bucket_capacity(n)
-        flat = np.zeros(cap, np.int32)
+        idx8 = np.zeros(cap * k2, np.int32)
         pos = 0
-        for bi, li, fl, idx in items:
-            m = len(fl)
-            flat[pos:pos + m] = fl
-            slices[(bi, li, s, "fast")] = (np.arange(pos, pos + m), idx)
+        for bi, li, rows, idx in items:
+            m = len(idx)
+            idx8[pos * k2:(pos + m) * k2] = rows
+            slices[(bi, li, s, kind)] = (np.arange(pos, pos + m), idx)
             pos += m
-        his, los = inv_for(s)
-        per_size.append((flat, his, los))
+        hz, lz = inv_for_z(s, kind == "quad")
+        per_size.append((idx8, hz, lz))
         sizes_list.append(s)
-        kinds.append("fast")
-        counts[(s, "fast")] = n
+        kinds.append(kind)
+        counts[(s, kind)] = n
+
+    if quad_entries:
+        add_rowgather_bucket(4, "quad", quad_entries)
+    for s in sorted(tiled_entries):
+        add_rowgather_bucket(s, "tiled", tiled_entries[s])
     for s in sorted(slow_entries):
         items = slow_entries[s]
         n = sum(len(it[2]) for it in items)
@@ -422,9 +494,10 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
     # 'push_idx', not the compute stage (matters on slow dev links)
     per_size_dev = jax.device_put(tuple(per_size))
     if timings is not None:
-        _sync(per_size_dev)
+        _sync_all(per_size_dev)
     mark("push_idx")
-    device_vecs = _stage_b(planes, per_size_dev, sizes=tuple(sizes_list))
+    device_vecs = _stage_b(planes, per_size_dev, sizes=tuple(sizes_list),
+                           kinds=tuple(kinds))
     if timings is not None:
         _sync(device_vecs)
     mark("stage_b")
@@ -453,12 +526,15 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
             coeffs = np.empty(int(offsets[-1]), np.int32)
             for s in np.unique(sizes64):
                 s = int(s)
-                for kind in ("fast", "slow"):
+                for kind in ("tiled", "quad", "slow"):
                     if (bi, li, s, kind) not in slices:
                         continue
                     rows, idx = slices[(bi, li, s, kind)]
+                    # a quad row holds its 4 preorder-consecutive sibling
+                    # leaves (idx = first sibling; spans are contiguous)
+                    width = 4 * s * s if kind == "quad" else s * s
                     flat = (offsets[idx][:, None]
-                            + np.arange(s * s, dtype=np.int64)[None, :])
+                            + np.arange(width, dtype=np.int64)[None, :])
                     coeffs[flat.ravel()] = results[(s, kind)][rows].ravel()
             states_bytes, bits_len = qt.pack_states(plan.states)
             writer.add_layer(LayerPayload(bits_len, plan.root_size,

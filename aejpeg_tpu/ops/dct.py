@@ -49,6 +49,48 @@ def _kron_matrix(size: int, inverse: bool) -> np.ndarray:
     return (kron if inverse else kron.T).astype(np.float32)
 
 
+TILE = 8  # shared space-to-depth tile: every quadtree leaf >= 8 is a
+          # whole multiple of it, and 4x4 sibling quads fill one tile
+
+
+@functools.lru_cache(maxsize=None)
+def tiled_zigzag_matrix(size: int) -> np.ndarray:
+    """((size/8)^2 * 64, size^2) f32 mapping a size-s block — given as its
+    raster-ordered 8x8 subtiles, each subtile flattened row-major (the
+    shared space-to-depth layout) — straight to its ZIGZAG-ordered DCT-II.
+
+    This folds three steps (subtile->raster permutation, Kronecker 2-D DCT,
+    zigzag gather) into one MXU matmul, so a bucket never materializes the
+    raster layout and never runs a per-lane zigzag gather."""
+    from .zigzag import zigzag_indices
+    assert size % TILE == 0
+    k = size // TILE
+    m = _kron_matrix(size, inverse=False)            # rows = raster pos
+    p = np.arange(size * size)
+    t, within = p // 64, p % 64
+    r = (t // k) * 8 + within // 8
+    c = (t % k) * 8 + within % 8
+    return np.ascontiguousarray(m[r * size + c][:, zigzag_indices(size)])
+
+
+@functools.lru_cache(maxsize=None)
+def quad4_zigzag_matrix() -> np.ndarray:
+    """(64, 64) f32 mapping one raster-flattened 8x8 tile to the
+    concatenated zigzag-ordered 4x4 DCT-IIs of its TL,TR,BL,BR quadrants —
+    the preorder coefficient layout of a fully-split sibling quad of 4x4
+    leaves (4x4 leaves always come in such quads away from the image
+    boundary: a split 8-node's children cannot split further)."""
+    from .zigzag import zigzag_indices
+    k4 = _kron_matrix(4, inverse=False)              # (16, 16)
+    zz = zigzag_indices(4)
+    out = np.zeros((64, 64), np.float32)
+    for q, (qr, qc) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        i = np.arange(4)
+        inpos = ((qr * 4 + i)[:, None] * 8 + (qc * 4 + i)[None, :]).ravel()
+        out[inpos, q * 16:(q + 1) * 16] = k4[:, zz]
+    return out
+
+
 def dct2_flat(vectors: jnp.ndarray, size: int) -> jnp.ndarray:
     """Forward 2-D DCT on row-major flattened blocks: (n, s*s) -> (n, s*s)."""
     k = jnp.asarray(_kron_matrix(size, inverse=False))
