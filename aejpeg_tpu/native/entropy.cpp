@@ -245,6 +245,26 @@ struct FreqCounter {
   }
 };
 
+// Tokenize-once sink: records the token sequence (u16: <0x8000 literal,
+// else bit14 = dist-4 flag + low bits = match length) while counting
+// frequencies, so the emit pass replays tokens instead of rescanning the
+// input bytes — the byte scan is the dominant cost of the sparse encoder.
+struct TokenRecorder {
+  std::vector<uint16_t> toks;
+  uint64_t freq[286] = {0};
+  uint64_t dfreq[30] = {0};
+  inline void lit(unsigned char b) {
+    toks.push_back(b);
+    freq[b]++;
+  }
+  inline void match(size_t len, int dist) {
+    toks.push_back(static_cast<uint16_t>(0x8000 | (dist == 4 ? 0x4000 : 0) |
+                                         len));
+    freq[257 + kLen.idx[len]]++;
+    dfreq[dist == 1 ? 0 : 3]++;
+  }
+};
+
 // emit the code-length sequence with RLE symbols 16/17/18
 template <typename Sink>
 void cl_rle(const uint8_t* lens, int n, Sink&& sink) {
@@ -293,36 +313,131 @@ void emit_stored(const unsigned char* src, size_t n, bool last,
     out->push_back(static_cast<unsigned char>(m >> 8));
     out->push_back(static_cast<unsigned char>(~m & 0xFF));
     out->push_back(static_cast<unsigned char>((~m >> 8) & 0xFF));
-    out->insert(out->end(), src + off, src + off + m);
+    if (m) out->insert(out->end(), src + off, src + off + m);
     off += m;
   } while (off < n);
 }
 
-// One chunk -> raw deflate bits, byte-aligned at the end (sync flush if not
-// last).  Never fails.
-void sparse_chunk(const unsigned char* src, size_t n, bool last,
-                  ChunkResult* out) {
-  out->ok = true;
-  if (n == 0) {
-    emit_stored(src, 0, last, &out->data);
-    return;
+// Tokenize int16 coefficients AS the byte stream of their int32-LE
+// widening, without materializing it: each coefficient v contributes bytes
+// [lo, hi, s, s] (s = sign byte).  Zero coefficients extend a pending
+// zero-byte run; repeated nonzero coefficients become distance-4 matches.
+// Token set is the same (lit, match dist 1/4) as scan_tokens, so the
+// Huffman/emit machinery is shared.
+template <typename E>
+inline void scan_coeffs(const int16_t* v, size_t n, E&& e) {
+  size_t zrun = 0;  // pending zero bytes
+  auto flush_z = [&]() {
+    if (zrun >= 4) {
+      e.lit(0);
+      size_t rem = zrun - 1;
+      while (rem >= 3) {
+        size_t l = rem < 258 ? rem : 258;
+        e.match(l, 1);
+        rem -= l;
+      }
+      while (rem--) e.lit(0);
+    } else {
+      for (size_t k = 0; k < zrun; ++k) e.lit(0);
+    }
+    zrun = 0;
+  };
+  size_t i = 0;
+  while (i < n) {
+    int16_t x = v[i];
+    if (x == 0) {
+      size_t j = i;
+      while (j + 4 <= n) {
+        uint64_t w;
+        std::memcpy(&w, v + j, 8);
+        if (w != 0) break;
+        j += 4;
+      }
+      while (j < n && v[j] == 0) ++j;
+      zrun += (j - i) * 4;
+      i = j;
+      continue;
+    }
+    size_t j = i + 1;
+    while (j < n && v[j] == x) ++j;
+    size_t rep = j - i;
+    flush_z();
+    unsigned u = static_cast<uint16_t>(x);
+    unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+    unsigned sb = x < 0 ? 0xFF : 0x00;
+    if (rep >= 2) {
+      // first word as literals, the rest as one 4-byte-period match run
+      e.lit(lo);
+      e.lit(hi);
+      e.lit(sb);
+      e.lit(sb);
+      // match lengths stay multiples of 4 so the run always ends on a word
+      // boundary (258-byte matches would leave a phase-shifted tail)
+      size_t rem = (rep - 1) * 4;
+      while (rem) {
+        size_t l = rem < 256 ? rem : 256;
+        e.match(l, 4);
+        rem -= l;
+      }
+      i = j;
+      continue;
+    }
+    e.lit(lo);
+    if (hi == sb) {
+      // small magnitude: hi duplicates the sign byte -> 3-byte tail
+      if (sb == 0) {
+        zrun = 3;  // merges with following zero coefficients
+      } else {
+        e.lit(0xFF);
+        e.lit(0xFF);
+        e.lit(0xFF);
+      }
+    } else {
+      e.lit(hi);
+      if (sb == 0) {
+        zrun = 2;
+      } else {
+        e.lit(0xFF);
+        e.lit(0xFF);
+      }
+    }
+    i = j;
   }
-  FreqCounter fc;
-  scan_tokens(src, n, fc);
-  fc.freq[256]++;  // EOB
+  flush_z();
+}
 
+// adler32 of the virtual int32-LE widening of int16 coefficients, computed
+// without materializing the bytes.  Matches zlib's adler32 over the widened
+// buffer (required for the zlib trailer).
+uint32_t adler32_coeffs(const int16_t* v, size_t n) {
+  uint32_t a = 1, b = 0;
+  size_t i = 0;
+  while (i < n) {
+    // NMAX for zlib is 5552 bytes; 1024 coeffs = 4096 bytes keeps both
+    // accumulators well inside uint32 between reductions.
+    size_t lim = i + 1024 < n ? i + 1024 : n;
+    for (; i < lim; ++i) {
+      unsigned u = static_cast<uint16_t>(v[i]);
+      unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+      unsigned sb = v[i] < 0 ? 0xFF : 0x00;
+      b += 4 * a + 4 * lo + 3 * hi + 2 * sb + sb;
+      a += lo + hi + 2 * sb;
+    }
+    a %= 65521;
+    b %= 65521;
+  }
+  return (b << 16) | a;
+}
+
+// Shared Huffman-block emitter: tables + header + token replay from a
+// TokenRecorder.  Appends the dynamic-Huffman block (plus sync flush if not
+// last) to *body.
+void emit_token_block(const TokenRecorder& fc, bool last,
+                      std::vector<unsigned char>* body) {
   uint8_t ll_lens[286];
-  int used = huffman_lengths(fc.freq, 286, 15, ll_lens);
-  // dist alphabet: distances 1 and 4 (symbols 0, 3); a single 1-bit code
-  // is the RFC-sanctioned incomplete case
+  huffman_lengths(fc.freq, 286, 15, ll_lens);
   uint8_t d_lens[30] = {0};
   if (huffman_lengths(fc.dfreq, 30, 15, d_lens) == 0) d_lens[0] = 1;
-
-  if (used < 2) {
-    // degenerate (cannot happen with EOB + data, but keep a safe exit)
-    emit_stored(src, n, last, &out->data);
-    return;
-  }
 
   uint16_t ll_codes[286], d_codes[30];
   canonical_codes(ll_lens, 286, 15, ll_codes);
@@ -332,7 +447,6 @@ void sparse_chunk(const unsigned char* src, size_t n, bool last,
   while (hlit > 257 && ll_lens[hlit - 1] == 0) hlit--;
   int hdist = d_lens[3] ? 4 : 1;
 
-  // code-length (19-symbol) table over the RLE'd length sequence
   std::vector<uint8_t> seq(ll_lens, ll_lens + hlit);
   seq.insert(seq.end(), d_lens, d_lens + hdist);
   uint64_t cl_freq[19] = {0};
@@ -341,7 +455,6 @@ void sparse_chunk(const unsigned char* src, size_t n, bool last,
   uint8_t cl_lens[19];
   int cl_used = huffman_lengths(cl_freq, 19, 7, cl_lens);
   if (cl_used == 1) {
-    // complete the 1-symbol code so strict inflaters accept the table
     for (int i = 0; i < 19; ++i)
       if (cl_freq[i]) {
         cl_lens[(i + 1) % 19] = 1;
@@ -353,9 +466,7 @@ void sparse_chunk(const unsigned char* src, size_t n, bool last,
   int hclen = 19;
   while (hclen > 4 && cl_lens[CLORDER[hclen - 1]] == 0) hclen--;
 
-  std::vector<unsigned char> body;
-  body.reserve(n / 8 + 64);
-  BitWriter bw(&body);
+  BitWriter bw(body);
   bw.put(last ? 1 : 0, 1);
   bw.put(2, 2);  // dynamic huffman
   bw.put(hlit - 257, 5);
@@ -368,43 +479,79 @@ void sparse_chunk(const unsigned char* src, size_t n, bool last,
            if (ebits) bw.put(extra, ebits);
          });
 
-  struct {
-    BitWriter* bw;
-    const uint8_t* ll;
-    const uint16_t* lc;
-    const uint8_t* dl;
-    const uint16_t* dc;
-    inline void lit(unsigned char b) { bw->put(lc[b], ll[b]); }
-    inline void match(size_t len, int dist) {
+  for (uint16_t t : fc.toks) {
+    if (t < 0x8000) {
+      bw.put(ll_codes[t], ll_lens[t]);
+    } else {
+      int len = t & 0x3FFF;
       int c = kLen.idx[len];
-      bw->put(lc[257 + c], ll[257 + c]);
-      if (LBITS[c]) bw->put(static_cast<uint32_t>(len - LBASE[c]), LBITS[c]);
-      int ds = dist == 1 ? 0 : 3;
-      bw->put(dc[ds], dl[ds]);
+      bw.put(ll_codes[257 + c], ll_lens[257 + c]);
+      if (LBITS[c]) bw.put(static_cast<uint32_t>(len - LBASE[c]), LBITS[c]);
+      int ds = (t & 0x4000) ? 3 : 0;
+      bw.put(d_codes[ds], d_lens[ds]);
     }
-  } em{&bw, ll_lens, ll_codes, d_lens, d_codes};
-  scan_tokens(src, n, em);
+  }
   bw.put(ll_codes[256], ll_lens[256]);  // EOB
   if (!last) {
-    // sync flush: empty stored block -> byte alignment for splicing
     bw.put(0, 1);
     bw.put(0, 2);
     bw.align();
-    body.push_back(0x00);
-    body.push_back(0x00);
-    body.push_back(0xFF);
-    body.push_back(0xFF);
+    body->push_back(0x00);
+    body->push_back(0x00);
+    body->push_back(0xFF);
+    body->push_back(0xFF);
   } else {
     bw.align();
   }
+}
 
+// One coefficient chunk -> raw deflate bits (byte-aligned at the end).
+void sparse16_chunk(const int16_t* v, size_t n_coeffs, bool last,
+                    ChunkResult* out) {
+  out->ok = true;
+  if (n_coeffs == 0) {
+    emit_stored(nullptr, 0, last, &out->data);
+    return;
+  }
+  TokenRecorder fc;
+  fc.toks.reserve(n_coeffs / 3 + 16);
+  scan_coeffs(v, n_coeffs, fc);
+  fc.freq[256]++;  // EOB
+  out->data.reserve(n_coeffs / 2 + 64);
+  emit_token_block(fc, last, &out->data);
+  // stored fallback if huffman lost (essentially never for coefficient
+  // data, but keeps the 4x expansion bound)
+  size_t n = n_coeffs * 4;
+  size_t stored_cost = n + 5 * ((n + 65534) / 65535);
+  if (out->data.size() > stored_cost) {
+    std::vector<int32_t> wide(n_coeffs);
+    for (size_t i = 0; i < n_coeffs; ++i) wide[i] = v[i];
+    out->data.clear();
+    emit_stored(reinterpret_cast<const unsigned char*>(wide.data()), n, last,
+                &out->data);
+  }
+}
+
+// One chunk -> raw deflate bits, byte-aligned at the end (sync flush if not
+// last).  Never fails.
+void sparse_chunk(const unsigned char* src, size_t n, bool last,
+                  ChunkResult* out) {
+  out->ok = true;
+  if (n == 0) {
+    emit_stored(src, 0, last, &out->data);
+    return;
+  }
+  TokenRecorder fc;
+  fc.toks.reserve(n / 6 + 16);
+  scan_tokens(src, n, fc);
+  fc.freq[256]++;  // EOB
+  out->data.reserve(n / 8 + 64);
+  emit_token_block(fc, last, &out->data);
   // fall back to stored blocks if the huffman encoding lost
   size_t stored_cost = n + 5 * ((n + 65534) / 65535);
-  if (body.size() > stored_cost) {
+  if (out->data.size() > stored_cost) {
     out->data.clear();
     emit_stored(src, n, last, &out->data);
-  } else {
-    out->data = std::move(body);
   }
 }
 
@@ -445,6 +592,57 @@ uint32_t adler32_combine_all(const unsigned char* src, size_t len) {
 }  // namespace
 
 extern "C" {
+
+// Compress int16 coefficients as the zlib stream of their int32-LE widening
+// (the .ajpg coefficient payload, src/jpeg/jpeg.py:579-597) using the
+// coefficient-domain sparse encoder — the widened bytes are never
+// materialized.  Returns the output size, or 0 on failure.
+size_t aej_payload16(const int16_t* v, size_t n_coeffs, int threads,
+                     unsigned char* dst, size_t dst_cap) {
+  if (threads < 1) threads = 1;
+  const size_t chunk = (1 << 20) / 4;  // 1 MiB of virtual bytes
+  size_t n_chunks = (n_coeffs + chunk - 1) / chunk;
+  if (n_chunks == 0) n_chunks = 1;
+  std::vector<ChunkResult> results(n_chunks);
+
+  std::atomic<size_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      size_t i = next.fetch_add(1);
+      if (i >= n_chunks) return;
+      size_t off = i * chunk;
+      size_t n = (off + chunk <= n_coeffs) ? chunk : (n_coeffs - off);
+      sparse16_chunk(v + off, n, i + 1 == n_chunks, &results[i]);
+    }
+  };
+  int nt = static_cast<int>(
+      std::min<size_t>(static_cast<size_t>(threads), n_chunks));
+  if (nt > 1) {
+    std::vector<std::thread> pool;
+    pool.reserve(nt);
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  } else {
+    worker();
+  }
+
+  size_t total = 2 + 4;
+  for (auto& r : results) total += r.data.size();
+  if (total > dst_cap) return 0;
+  unsigned char* p = dst;
+  *p++ = 0x78;
+  *p++ = 0x01;
+  for (auto& r : results) {
+    std::memcpy(p, r.data.data(), r.data.size());
+    p += r.data.size();
+  }
+  uint32_t ad = adler32_coeffs(v, n_coeffs);
+  *p++ = (ad >> 24) & 0xFF;
+  *p++ = (ad >> 16) & 0xFF;
+  *p++ = (ad >> 8) & 0xFF;
+  *p++ = ad & 0xFF;
+  return static_cast<size_t>(p - dst);
+}
 
 // Compress `len` bytes into `dst` (capacity dst_cap) as one zlib stream
 // using `threads` workers and `chunk_size` bytes per chunk.  Returns the
@@ -625,6 +823,135 @@ size_t aej_build_plan(const unsigned char* levels,
   }
   *n_states_out = ns;
   return nl;
+}
+
+// Row index of a boundary (partial) block in the static per-(layer, size)
+// slow table.  Enumeration order (mirrored by the device-side bucket
+// builder in codec/batch_encode.py): first the partial right column, grid
+// rows 0..h/s-1 (present iff w % s != 0), then the partial bottom row,
+// grid cols 0..ceil(w/s)-1 (present iff h % s != 0).
+static inline int64_t boundary_rank(int32_t y, int32_t x, int32_t s,
+                                    int32_t h, int32_t w) {
+  int32_t ghf = h / s;
+  int32_t gy = y / s;
+  if (gy < ghf) return gy;                       // right column
+  int64_t n_right = (w % s) ? ghf : 0;
+  return n_right + x / s;                        // bottom row (incl corner)
+}
+
+// Assemble one layer's preorder int32 coefficient stream from the dense
+// per-size level tables the device emits (ZIGZAG-ordered quantized int16,
+// one row per grid-aligned block — the device applies the zigzag
+// permutation) plus the slow bucket (reflect-padded boundary blocks, same
+// zigzag rows, in boundary_rank order), widening int16 -> int32 as the
+// container format requires (stream layout: src/jpeg/jpeg.py:579-597), then
+// deflate in place.  `tables[k]`/`slow[k]` are indexed by k = log2(block
+// size); `tables[k]` points at THIS plane's (gh*gw, s*s) rows, `slow[k]` at
+// this plane's first boundary row, `pw` is the padded plane width (grid
+// stride).  Returns the compressed size, 0 on failure.
+size_t aej_layer_payload(const int32_t* leaf_sizes, const int32_t* leaf_y,
+                         const int32_t* leaf_x, int64_t n_leaves, int32_t h,
+                         int32_t w, int32_t pw,
+                         const int16_t* const* tables,
+                         const int16_t* const* slow, int32_t level,
+                         int32_t threads, unsigned char* out,
+                         size_t out_cap) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_leaves; ++i)
+    total += static_cast<int64_t>(leaf_sizes[i]) * leaf_sizes[i];
+  std::vector<int16_t> raw(static_cast<size_t>(total));
+  int16_t* dst = raw.data();
+  for (int64_t i = 0; i < n_leaves; ++i) {
+    int32_t s = leaf_sizes[i];
+    int k = 0;
+    while ((1 << k) < s) ++k;
+    int64_t s2 = static_cast<int64_t>(s) * s;
+    const int16_t* src;
+    if (leaf_y[i] + s <= h && leaf_x[i] + s <= w) {
+      int64_t row = static_cast<int64_t>(leaf_y[i] / s) * (pw / s) +
+                    leaf_x[i] / s;
+      src = tables[k] + row * s2;
+    } else {
+      src = slow[k] + boundary_rank(leaf_y[i], leaf_x[i], s, h, w) * s2;
+    }
+    std::memcpy(dst, src, static_cast<size_t>(s2) * 2);
+    dst += s2;
+  }
+  if (level < 0) {
+    return aej_payload16(raw.data(), static_cast<size_t>(total), threads,
+                         out, out_cap);
+  }
+  // reference-parity path: materialize the int32 widening and zlib it
+  std::vector<int32_t> wide(static_cast<size_t>(total));
+  for (int64_t j = 0; j < total; ++j) wide[j] = raw[j];
+  return aej_deflate_parallel(
+      reinterpret_cast<const unsigned char*>(wide.data()),
+      static_cast<size_t>(total) * 4, out, out_cap, level, threads,
+      1 << 20);
+}
+
+// Decode one layer: unpack the 2-bit state stream (np.packbits MSB-first
+// convention), replay it to preorder leaf positions (the reference
+// traversal, src/jpeg/jpeg.py:768-800), inflate the coefficient stream and
+// scatter each leaf's zigzag row (narrowed to int16 — levels are bounded by
+// size * 127.5 <= 16320) into the caller's pre-zeroed dense per-size tables
+// (zigzag order preserved; the device inverse-zigzags).  The plane is
+// padded so every leaf block lies inside the grid — boundary leaves need no
+// special casing on decode.  Returns the leaf count, or -1 on a malformed
+// stream.
+int64_t aej_decode_layer(const unsigned char* states_bytes, int64_t bits_len,
+                         int32_t root_size, const unsigned char* comp,
+                         size_t comp_len, int32_t pw,
+                         int16_t* const* tables) {
+  int64_t n_states = bits_len / 2;
+  struct Node {
+    int32_t x, y, size;
+  };
+  std::vector<Node> stack;
+  stack.reserve(128);
+  stack.push_back({0, 0, root_size});
+  std::vector<Node> leaves;
+  leaves.reserve(static_cast<size_t>(n_states));
+  int64_t idx = 0;
+  int64_t total = 0;
+  while (!stack.empty() && idx < n_states) {
+    Node nd = stack.back();
+    stack.pop_back();
+    int64_t t0 = 2 * idx, t1 = 2 * idx + 1;
+    unsigned st =
+        (((states_bytes[t0 >> 3] >> (7 - (t0 & 7))) & 1u) << 1) |
+        ((states_bytes[t1 >> 3] >> (7 - (t1 & 7))) & 1u);
+    ++idx;
+    if (st == 0) {
+      leaves.push_back(nd);
+      total += static_cast<int64_t>(nd.size) * nd.size;
+    } else if (st == 1) {
+      int32_t half = nd.size >> 1;
+      stack.push_back({nd.x + half, nd.y + half, half});
+      stack.push_back({nd.x, nd.y + half, half});
+      stack.push_back({nd.x + half, nd.y, half});
+      stack.push_back({nd.x, nd.y, half});
+    }
+  }
+  std::vector<int32_t> raw(static_cast<size_t>(total));
+  if (aej_inflate(comp, comp_len,
+                  reinterpret_cast<unsigned char*>(raw.data()),
+                  static_cast<size_t>(total) * 4) !=
+      static_cast<size_t>(total) * 4) {
+    return -1;
+  }
+  const int32_t* src = raw.data();
+  for (const Node& nd : leaves) {
+    int32_t s = nd.size;
+    int k = 0;
+    while ((1 << k) < s) ++k;
+    int64_t s2 = static_cast<int64_t>(s) * s;
+    int64_t row = static_cast<int64_t>(nd.y / s) * (pw / s) + nd.x / s;
+    int16_t* dst = tables[k] + row * s2;
+    for (int64_t j = 0; j < s2; ++j) dst[j] = static_cast<int16_t>(src[j]);
+    src += s2;
+  }
+  return static_cast<int64_t>(leaves.size());
 }
 
 // Upper bound for aej_deflate_parallel output.

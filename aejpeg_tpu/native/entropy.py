@@ -12,6 +12,16 @@ import threading
 import zlib
 from typing import Optional
 
+import numpy as np
+
+
+def _out_buffer(size: int):
+    """Uninitialized output buffer + void_p view (create_string_buffer
+    zeroes its whole allocation and .raw copies all of it — at 100 MB
+    bounds that costs more than the compression itself)."""
+    buf = np.empty(size, np.uint8)
+    return buf, buf.ctypes.data_as(ctypes.c_void_p)
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libaejentropy.so")
 _LOCK = threading.Lock()
@@ -67,6 +77,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.aej_payload16.restype = ctypes.c_size_t
+        lib.aej_payload16.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_size_t]
+        lib.aej_layer_payload.restype = ctypes.c_size_t
+        lib.aej_layer_payload.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_size_t]
+        lib.aej_decode_layer.restype = ctypes.c_int64
+        lib.aej_decode_layer.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.c_size_t, ctypes.c_int32, ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -86,30 +110,29 @@ def deflate_parallel(data: bytes, level: int = 9,
     if threads is None:
         threads = os.cpu_count() or 1
     bound = lib.aej_deflate_bound(len(data), chunk_size)
-    out = ctypes.create_string_buffer(bound)
+    buf, out = _out_buffer(bound)
     n = lib.aej_deflate_parallel(data, len(data), out, bound, level,
                                  threads, chunk_size)
     if n == 0:
         return zlib.compress(data, level=level)
-    return out.raw[:n]
+    return buf[:n].tobytes()
 
 
 def inflate(data: bytes, max_out: int) -> bytes:
     lib = _load()
     if lib is None:
         return zlib.decompress(data)
-    out = ctypes.create_string_buffer(max_out)
+    buf, out = _out_buffer(max_out)
     n = lib.aej_inflate(data, len(data), out, max_out)
     if n == 0:
         return zlib.decompress(data)
-    return out.raw[:n]
+    return buf[:n].tobytes()
 
 
 def replay_states(states, root_size: int):
     """Preorder stack replay of quadtree states -> (sizes, ys, xs) int32
     arrays, or None if the native library is unavailable (callers fall back
     to the Python replay)."""
-    import numpy as np
     lib = _load()
     if lib is None:
         return None
@@ -125,12 +148,72 @@ def replay_states(states, root_size: int):
     return sizes[:m], ys[:m], xs[:m]
 
 
+def payload16(coeffs, threads: int = 1) -> Optional[bytes]:
+    """Compress int16 coefficients as the zlib stream of their int32-LE
+    widening (coefficient-domain sparse encoder; zlib.decompress of the
+    result yields coeffs.astype('<i4').tobytes())."""
+    lib = _load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(coeffs, dtype=np.int16)
+    bound = lib.aej_deflate_bound(v.size * 4, 1 << 20)
+    buf, out = _out_buffer(bound)
+    n = lib.aej_payload16(v.ctypes.data_as(ctypes.c_void_p), v.size,
+                          threads, out, bound)
+    if n == 0 and v.size:
+        return None
+    return buf[:n].tobytes()
+
+
+def layer_payload(leaf_sizes, leaf_y, leaf_x, h: int, w: int, pw: int,
+                  table_ptrs, slow_ptrs, level: int, threads: int = 1):
+    """Assemble one layer's preorder coefficient stream from dense
+    zigzag-int16 tables (see entropy.cpp aej_layer_payload) and deflate it.
+    `table_ptrs`/`slow_ptrs` are (ctypes.c_void_p * 8) arrays indexed by
+    log2(size).  Returns the compressed bytes, or None when the native
+    library is unavailable or the call fails."""
+    lib = _load()
+    if lib is None:
+        return None
+    sizes = np.ascontiguousarray(leaf_sizes, np.int32)
+    ys = np.ascontiguousarray(leaf_y, np.int32)
+    xs = np.ascontiguousarray(leaf_x, np.int32)
+    total = int(np.sum(sizes.astype(np.int64) ** 2))
+    bound = lib.aej_deflate_bound(total * 4, 1 << 20)
+    buf, out = _out_buffer(bound)
+    n = lib.aej_layer_payload(
+        sizes.ctypes.data_as(ctypes.c_void_p),
+        ys.ctypes.data_as(ctypes.c_void_p),
+        xs.ctypes.data_as(ctypes.c_void_p),
+        len(sizes), h, w, pw,
+        ctypes.cast(table_ptrs, ctypes.c_void_p),
+        ctypes.cast(slow_ptrs, ctypes.c_void_p),
+        level, threads, out, bound)
+    if n == 0 and total > 0:
+        return None
+    return buf[:n].tobytes()
+
+
+def decode_layer(states_bytes: bytes, bits_len: int, root_size: int,
+                 comp: bytes, pw: int, table_ptrs):
+    """Replay a layer's state stream, inflate its coefficient stream and
+    scatter zigzag-int16 rows into pre-zeroed dense tables (see entropy.cpp
+    aej_decode_layer).  Returns the leaf count, or None when unavailable /
+    malformed."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = lib.aej_decode_layer(states_bytes, bits_len, root_size, comp,
+                             len(comp), pw,
+                             ctypes.cast(table_ptrs, ctypes.c_void_p))
+    return None if n < 0 else int(n)
+
+
 def build_plan(levels_concat, level_offsets, k_lo: int, k_hi: int,
                root_size: int, h: int, w: int, max_size: int,
                min_size: int):
     """Native preorder quadtree plan from pooled has-edge masks.  Returns
     (states, sizes, ys, xs) int arrays or None when unavailable."""
-    import numpy as np
     lib = _load()
     if lib is None:
         return None
