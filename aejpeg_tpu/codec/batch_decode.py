@@ -1,23 +1,28 @@
 """Batched quadtree decoder: the mirror of `batch_encode`.
 
-The per-image `Codec.decompress` dispatches one device call per (layer,
-size) bucket; at batch scale dispatch latency dominates.  Here:
+Round-2 dense redesign.  The reference decodes per block in Python loops
+(src/jpeg/jpeg.py:599-674, 410-459); round 1 batched gathered buckets but
+spent more time in the host numpy bucket assembly than on the device.
+Here the host never touches coefficients:
 
-  host: parse containers, inflate coefficient streams (native zlib pool),
-      replay state streams to leaf positions (native C++ stack replay),
-      gather per-size global level buckets across all images/layers.
-  device (1 jit call / batch): per size bucket — inverse zigzag -> dequant
-      (per-layer tables) -> IDCT matmuls -> scatter whole tiles into
-      padded space-to-depth canvases (quadtree leaves are size-aligned, so
-      every block is one tile row: the fast scatter mirrors the encoder's
-      fast gather); then crop, denormalize, bilinear-upsample chroma and
-      invert the color transform for all images at once.
+  host (thread pool over blobs): parse containers; per layer, C++ replays
+      the state stream, inflates the coefficient stream and scatters each
+      leaf's zigzag row — narrowed to int16 — into dense per-size tables
+      (native/entropy.cpp aej_decode_layer).  Planes are padded so every
+      leaf block lands inside its size grid; non-leaf rows stay zero.
+  device (1 jit / batch): per size — inverse zigzag, dequantize, dense
+      inverse DCT over the whole plane; SUM the per-size reconstructions
+      (leaves partition the plane, and zero rows reconstruct to zero);
+      then crop, denormalize, bilinear-upsample chroma and invert the
+      color transform for all images at once.
 
 Outputs are numerically identical to `Codec.decompress` (same jnp ops).
 Requires same-shape, same-settings containers; group upstream otherwise.
 """
 
+import ctypes
 import functools
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
@@ -29,83 +34,97 @@ from .. import color
 from ..config import CodecConfig
 from ..io.container import ContainerReader
 from ..io.image import ImageData
+from ..native import entropy as native_entropy
+from ..native import inflate as native_inflate
 from ..ops import dct, quant, resize, zigzag
 from . import quadtree as qt
-from .batch_encode import _bucket_capacity, _sync
+from .batch_encode import _quant_tables_np, _sync
+from .dense import batch_spec
 
 
-def _canvas_pad(n: int) -> int:
-    """Smallest multiple of 128 >= n + 127: every leaf tile (size <= 128,
-    origin inside the layer) fits entirely inside the padded canvas, and
-    the tile grid divides evenly for every block size."""
-    return ((n + 127 + 127) // 128) * 128
+@functools.lru_cache(maxsize=32)
+def _stage_d_fn(cfg: CodecConfig, shape: Tuple[int, int], b: int):
+    """Compiled dense decode stage for (config, image shape, batch size).
+
+    Returns (jit_fn, spec).  jit_fn(tables) with tables[gi][si] =
+    (B * n_l, gh * gw, s * s) zigzag int16 -> (B, H, W, 3) float32 sRGB."""
+    h, w = shape
+    layer_shapes = cfg.layer_shapes(shape)
+    mn, mx = cfg.block_size_range
+    spec = batch_spec(layer_shapes, mn, mx)
+    mids, scales = color.normalization_constants(cfg.color_space)
+
+    consts = {}
+    for gi, g in enumerate(spec.groups):
+        for s in g.sizes:
+            _, _, q3 = _quant_tables_np(cfg, s)
+            q_g = np.stack([q3[li] for li in g.layers])      # (n_l, s, s)
+            inv = zigzag.inverse_zigzag_indices(s)
+            consts[(gi, s)] = (q_g, inv)
+
+    def fn(tables):
+        canvases = []
+        for gi, g in enumerate(spec.groups):
+            ph, pw, n_l = g.ph, g.pw, g.n_l
+            canvas = jnp.zeros((b, n_l, ph, pw), jnp.float32)
+            for si, s in enumerate(g.sizes):
+                q_g, inv = consts[(gi, s)]
+                gh, gw = ph // s, pw // s
+                zzrows = tables[gi][si]                  # (p, gh*gw, s*s)
+                raster = zzrows[:, :, jnp.asarray(inv)]
+                lv = raster.reshape(b, n_l, gh, gw, s, s)
+                coeffs = (lv * jnp.asarray(q_g).reshape(
+                    1, n_l, 1, 1, s, s)).astype(jnp.float32)
+                # dense inverse DCT wants (..., gh, s, gw, s)
+                blocks = dct.idct2_dense(coeffs.transpose(0, 1, 2, 4, 3, 5))
+                canvas = canvas + blocks.reshape(b, n_l, ph, pw)
+            canvases.append(canvas)
+
+        ups = []
+        for li in range(3):
+            gi, j = spec.layer_pos[li]
+            g = spec.groups[gi]
+            lh, lw = g.shape
+            layer = canvases[gi][:, j, :lh, :lw] / scales[li] + mids[li]
+            ups.append(resize.resize2d(layer, (h, w), "linear"))
+        stacked = jnp.stack(ups, axis=-1)
+        return color.convert(cfg.color_space, "sRGB", stacked)
+
+    return jax.jit(fn), spec
 
 
-@functools.partial(jax.jit, static_argnames=("sizes", "space",
-                                             "layer_shapes", "out_shape",
-                                             "canvas_shape"))
-def _stage_d(per_size: Tuple, sizes: Tuple[int, ...],
-             qtabs: Tuple, space: str,
-             layer_shapes: Tuple[Tuple[int, int], ...],
-             out_shape: Tuple[int, int], canvas_shape: Tuple[int, int, int]
-             ) -> jnp.ndarray:
-    """per_size[i] = (levels (cap, s*s) int32, row_layer (cap,) int32,
-    inv_map (p*gh*gw,) int32 mapping each canvas tile slot to its bucket
-    row, or cap for empty slots); qtabs[i] = (3, s, s) int32 quantization
-    tables.  Returns (B, H, W, 3) float32 sRGB.
-
-    Paint is a row-GATHER from the decoded bucket into the dense tile
-    array (the host precomputes the inverse map): measured ~3x a scatter
-    on the TPU, and for s <= KRON_MAX everything stays 2-D — (n, s, s)
-    tensors tile to (8, 128) with up to 32x memory padding (an earlier
-    scatter formulation OOMed 17 GB at batch 42)."""
-    p, php, pwp = canvas_shape
-    canvas = jnp.zeros((p, php, pwp), jnp.float32)
-    for i, s in enumerate(sizes):
-        levels, row_layer, inv_map = per_size[i]
-        gh, gw = php // s, pwp // s
-        if s <= dct.KRON_MAX:
-            q = qtabs[i].reshape(3, -1)[row_layer]
-            blocks = dct.idct2_flat(quant.dequantize(
-                zigzag.zigzag_scatter_flat(levels, s), q), s)
-            padded = jnp.concatenate(
-                [blocks, jnp.zeros((1, s * s), jnp.float32)], axis=0)
-            tiles = padded[inv_map]
-            canvas = canvas + tiles.reshape(p, gh, gw, s, s).transpose(
-                0, 1, 3, 2, 4).reshape(p, php, pwp)
-        else:
-            q = qtabs[i][row_layer]
-            blocks = dct.idct2(quant.dequantize(
-                zigzag.zigzag_scatter(levels, s), q))
-            padded = jnp.concatenate(
-                [blocks, jnp.zeros((1, s, s), jnp.float32)], axis=0)
-            tiles = padded[inv_map]
-            canvas = canvas + tiles.reshape(p, gh, gw, s, s).transpose(
-                0, 1, 3, 2, 4).reshape(p, php, pwp)
-
-    mids, scales = color.normalization_constants(space)
-    h, w = out_shape
-    b = p // 3
-    canv = canvas.reshape(b, 3, php, pwp)
-    ups = []
-    for i, (lh, lw) in enumerate(layer_shapes):
-        layer = canv[:, i, :lh, :lw] / scales[i] + mids[i]
-        ups.append(resize.resize2d(layer, (h, w), "linear"))
-    stacked = jnp.stack(ups, axis=-1)
-    return color.convert(space, "sRGB", stacked)
+def _decode_layer_numpy(payload, table_views: Dict[int, np.ndarray],
+                        pw: int) -> None:
+    """Pure-numpy mirror of entropy.cpp aej_decode_layer (fallback when the
+    native library is unavailable; also its test oracle).  table_views[k]
+    is this plane's (gh*gw, s*s) int16 view."""
+    states = qt.unpack_states(payload.states_bytes, payload.bits_len)
+    sizes, ys, xs = qt.replay_positions(states, payload.root_size, 0, 0)
+    coeffs = payload.coeffs
+    sizes64 = sizes.astype(np.int64)
+    offsets = np.zeros(len(sizes64) + 1, np.int64)
+    np.cumsum(sizes64 * sizes64, out=offsets[1:])
+    for s in np.unique(sizes64):
+        s = int(s)
+        k = s.bit_length() - 1
+        idx = np.nonzero(sizes64 == s)[0]
+        flat = (offsets[idx][:, None]
+                + np.arange(s * s, dtype=np.int64)[None, :])
+        rows = (ys[idx].astype(np.int64) // s) * (pw // s) + xs[idx] // s
+        table_views[k][rows] = coeffs[flat.ravel()].reshape(
+            len(idx), s * s).astype(np.int16)
 
 
 def decode_batch(blobs: List[bytes],
                  timings: Optional[Dict[str, float]] = None,
                  materialize: bool = True):
     """Decode same-settings .ajpg blobs as one device pipeline; returns
-    images in input order.  Stage timings: 'parse' (inflate + replay),
-    'buckets', 'push', 'stage_d', 'pull'.  materialize=False returns the
-    device-resident (B, H, W, 3) array plus the metadata list instead of
-    host ImageData (skips the device->host image transfer)."""
+    images in input order.  Stage timings: 'parse' (inflate + replay +
+    dense scatter, C++), 'push', 'device', 'pull'.  materialize=False
+    returns the device-resident (B, H, W, 3) array plus the metadata list
+    instead of host ImageData (skips the device->host image transfer)."""
     if not blobs:
         return []
-    import time
     marks = [time.perf_counter()]
 
     def mark(name):
@@ -113,21 +132,14 @@ def decode_batch(blobs: List[bytes],
             marks.append(time.perf_counter())
             timings[name] = timings.get(name, 0.0) + marks[-1] - marks[-2]
 
-    # ---- host: parse + inflate + replay (thread pool across blobs)
-    def parse(blob):
-        reader = ContainerReader(blob)
-        layers = []
-        for payload in reader.read_layers():
-            states = qt.unpack_states(payload.states_bytes, payload.bits_len)
-            sizes, ys, xs = qt.replay_positions(states, payload.root_size,
-                                                0, 0)
-            layers.append((sizes, ys, xs, payload.coeffs))
-        return reader.metadata, layers
-
-    with ThreadPoolExecutor() as pool:
-        parsed = list(pool.map(parse, blobs))
-    meta0 = parsed[0][0]
-    for m, _ in parsed[1:]:
+    metas = [None] * len(blobs)
+    readers = []
+    for bi, blob in enumerate(blobs):
+        r = ContainerReader(blob)
+        metas[bi] = r.metadata
+        readers.append(r)
+    meta0 = metas[0]
+    for m in metas[1:]:
         if (m.height, m.width, m.color_space, m.quality_min, m.quality_max,
             m.block_size_min, m.block_size_max) != (
                 meta0.height, meta0.width, meta0.color_space,
@@ -140,70 +152,61 @@ def decode_batch(blobs: List[bytes],
                       (meta0.block_size_min, meta0.block_size_max))
     h, w = meta0.height, meta0.width
     b = len(blobs)
-    layer_shapes = cfg.layer_shapes((h, w))
-    php, pwp = _canvas_pad(layer_shapes[0][0]), _canvas_pad(layer_shapes[0][1])
+    jit_d, spec = _stage_d_fn(cfg, (h, w), b)
+
+    # pre-zeroed dense tables: tables[gi][si] = (B*n_l, gh*gw, s*s) int16
+    tables: List[List[np.ndarray]] = []
+    for g in spec.groups:
+        per = []
+        for s in g.sizes:
+            gh, gw = g.ph // s, g.pw // s
+            per.append(np.zeros((b * g.n_l, gh * gw, s * s), np.int16))
+        tables.append(per)
+
+    use_native = native_entropy.native_available()
+
+    def parse(bi: int) -> None:
+        for li in range(3):
+            payload = readers[bi].read_layer_raw()
+            gi, j = spec.layer_pos[li]
+            g = spec.groups[gi]
+            plane = bi * g.n_l + j
+            done = None
+            if use_native:
+                ptrs = (ctypes.c_void_p * 8)()
+                for si, s in enumerate(g.sizes):
+                    k = s.bit_length() - 1
+                    arr = tables[gi][si]
+                    ptrs[k] = (arr.ctypes.data
+                               + plane * arr.shape[1] * arr.shape[2] * 2)
+                done = native_entropy.decode_layer(
+                    payload.states_bytes, payload.bits_len,
+                    payload.root_size, payload.compressed, g.pw, ptrs)
+            if done is None:
+                raw = native_inflate(payload.compressed,
+                                     max_out=4 * g.ph * g.pw * 2)
+                payload.coeffs = np.frombuffer(raw, dtype="<i4")
+                views = {}
+                for si, s in enumerate(g.sizes):
+                    k = s.bit_length() - 1
+                    views[k] = tables[gi][si][plane]
+                _decode_layer_numpy(payload, views, g.pw)
+
+    with ThreadPoolExecutor() as pool:
+        list(pool.map(parse, range(b)))
     mark("parse")
 
-    # ---- host: global per-size buckets
-    entries: Dict[int, List] = {}
-    for bi, (_, layers) in enumerate(parsed):
-        for li, (sizes, ys, xs, coeffs) in enumerate(layers):
-            sizes64 = sizes.astype(np.int64)
-            offsets = np.zeros(len(sizes64) + 1, np.int64)
-            np.cumsum(sizes64 * sizes64, out=offsets[1:])
-            for s in np.unique(sizes64):
-                s = int(s)
-                idx = np.nonzero(sizes64 == s)[0]
-                flat_pos = (offsets[idx][:, None]
-                            + np.arange(s * s, dtype=np.int64)[None, :])
-                vecs = coeffs[flat_pos.ravel()].reshape(len(idx), s * s)
-                gh, gw = php // s, pwp // s
-                flat_idx = ((bi * 3 + li) * gh * gw
-                            + (ys[idx] // s) * gw + xs[idx] // s)
-                entries.setdefault(s, []).append(
-                    (vecs.astype(np.int32), flat_idx.astype(np.int32), li))
-
-    mn = cfg.block_size_range[0]
-    sizes_t = tuple(sorted(entries))
-    per_size, qtabs = [], []
-    p = b * 3
-    for s in sizes_t:
-        items = entries[s]
-        n = sum(len(v) for v, _, _ in items)
-        cap = _bucket_capacity(n)
-        n_tiles = p * (php // s) * (pwp // s)
-        levels = np.zeros((cap, s * s), np.int32)
-        row_layer = np.zeros(cap, np.int32)
-        inv_map = np.full(n_tiles, cap, np.int32)  # cap -> the zero row
-        pos = 0
-        for v, f, li in items:
-            m = len(v)
-            levels[pos:pos + m] = v
-            row_layer[pos:pos + m] = li
-            inv_map[f] = np.arange(pos, pos + m, dtype=np.int32)
-            pos += m
-        per_size.append((levels, row_layer, inv_map))
-        qtabs.append(np.stack([
-            quant.quantization_matrix(
-                np.asarray(cfg.quantization_matrices[li]), s,
-                cfg.quality_for(max(s, mn)))
-            for li in range(3)]))
-    mark("buckets")
-
-    per_size_dev = jax.device_put(tuple(per_size))
-    qtabs_dev = jax.device_put(tuple(qtabs))
+    tables_dev = jax.device_put(tuple(tuple(per) for per in tables))
     if timings is not None:
-        _sync((per_size_dev, qtabs_dev))
+        _sync(tables_dev)
     mark("push")
 
-    out = _stage_d(per_size_dev, sizes_t, qtabs_dev, cfg.color_space,
-                   layer_shapes, (h, w), (p, php, pwp))
-    if timings is not None:
-        _sync(out)
-    mark("stage_d")
+    out = jit_d(tables_dev)
+    _sync(out)   # execution barrier before any bulk pull (see batch_encode)
+    mark("device")
     if not materialize:
-        return out, [m for m, _ in parsed]
-    arr = np.asarray(out, np.float32)
+        return out, metas
+    arr = np.ascontiguousarray(np.asarray(out, np.float32))
     mark("pull")
-    return [ImageData(arr[i], (h, w, 3), parsed[i][0].extension)
+    return [ImageData(arr[i], (h, w, 3), metas[i].extension)
             for i in range(b)]

@@ -29,7 +29,12 @@ class LayerPayload:
     bits_len: int
     root_size: int
     states_bytes: bytes
-    coeffs: np.ndarray  # int32, concatenated zigzag coefficients, preorder
+    # int32, concatenated zigzag coefficients, preorder (None when the
+    # producer supplies the deflated stream directly)
+    coeffs: Optional[np.ndarray] = None
+    # pre-deflated coefficient stream (the native C++ assembler compresses
+    # in place; the writer passes it through untouched)
+    compressed: Optional[bytes] = None
 
 
 @dataclasses.dataclass
@@ -84,8 +89,10 @@ class ContainerWriter:
             out.write(layer.bits_len.to_bytes(4, "big"))
             out.write(layer.root_size.to_bytes(4, "big"))
             out.write(layer.states_bytes)
-            comp = self._compress(
-                np.ascontiguousarray(layer.coeffs, dtype="<i4").tobytes())
+            comp = layer.compressed
+            if comp is None:
+                comp = self._compress(
+                    np.ascontiguousarray(layer.coeffs, dtype="<i4").tobytes())
             out.write(len(comp).to_bytes(4, "big"))
             out.write(comp)
         return out.getvalue()
@@ -100,13 +107,21 @@ class ContainerReader:
             self._stream.read(mlen))
 
     def read_layer(self) -> LayerPayload:
+        payload = self.read_layer_raw()
+        raw = self._decompress(payload.compressed)
+        payload.coeffs = np.frombuffer(raw, dtype="<i4")
+        return payload
+
+    def read_layer_raw(self) -> LayerPayload:
+        """Read one layer WITHOUT inflating the coefficient stream (the
+        native batched decoder inflates in C++); `compressed` holds the
+        deflated bytes, `coeffs` is None."""
         bits_len = int.from_bytes(self._stream.read(4), "big")
         root_size = int.from_bytes(self._stream.read(4), "big")
         states_bytes = self._stream.read((bits_len + 7) // 8)
         clen = int.from_bytes(self._stream.read(4), "big")
-        raw = self._decompress(self._stream.read(clen))
-        coeffs = np.frombuffer(raw, dtype="<i4")
-        return LayerPayload(bits_len, root_size, states_bytes, coeffs)
+        return LayerPayload(bits_len, root_size, states_bytes,
+                            compressed=self._stream.read(clen))
 
     def read_layers(self) -> List[LayerPayload]:
         return [self.read_layer() for _ in range(self.metadata.num_layers)]

@@ -383,6 +383,22 @@ def percentile_u8(img_u8: jnp.ndarray, q: float) -> jnp.ndarray:
     return v0 * np.float32(1 - frac) + v1 * np.float32(frac)
 
 
+def percentiles_u8(img_u8: jnp.ndarray, qs) -> tuple:
+    """np.percentile for several q's from ONE 256-bin histogram pass
+    (the binary-search form costs 8 full-image reductions per rank — one
+    Pallas histogram serves every threshold; ADVICE r1)."""
+    from .pallas_kernels import histogram256
+    n = img_u8.size
+    flat = img_u8.astype(jnp.int32).reshape(-1)
+    pad = (-n) % 8
+    if pad:
+        flat = jnp.pad(flat, (0, pad), constant_values=-1)
+    # 8 rows keep the kernel's (T, 128, 256) compare-sum lanes busy
+    hist = histogram256(flat.reshape(8, -1)).sum(axis=0)
+    csum = jnp.cumsum(hist)
+    return tuple(_percentile_from_hist(csum, n, q) for q in qs)
+
+
 @jax.jit
 def canny(layer: jnp.ndarray) -> jnp.ndarray:
     """Full reference edge stack on one float32 layer -> {0,1} float32
@@ -391,8 +407,7 @@ def canny(layer: jnp.ndarray) -> jnp.ndarray:
     eq = clahe(u8, 0.75, (4, 4))
     blur = gaussian_blur_u8(eq, 3)
     blur = bilateral_u8(blur, 5, 75.0, 75.0)
-    low = percentile_u8(blur, 10.0)
-    high = percentile_u8(blur, 30.0)
+    low, high = percentiles_u8(blur, (10.0, 30.0))
     gx, gy = sobel_xy(blur)
     # OpenCV L2gradient squares the thresholds
     return _canny_from_gradients(gx, gy, low * low, high * high, l2=True)

@@ -62,50 +62,56 @@ def histogram256(values: jnp.ndarray) -> jnp.ndarray:
 
 
 _LUT_ROWS = 8
+_LUT_COLS = 512
 
 
 def _lut_apply_kernel(img_ref, lut_ref, wts_ref, out_ref):
-    """img (bh, W) int32 in [0,255]; lut (256, T) bf16 (values <= 255,
-    exact); wts (bh, W, T) f32 -> out (bh, W) f32 = sum_t wts*lut[img, t].
+    """img (bh, bw) int32 in [0,255]; lut (256, T) bf16 (values <= 255,
+    exact); wts (bh, bw, T) f32 -> out (bh, bw) f32 = sum_t wts*lut[img, t].
 
-    The one-hot (bh*W, 256) tensor lives only in VMEM/registers here — the
-    XLA formulation materializes it in HBM (~512 bytes of traffic per
-    pixel), which made LUT application the most expensive CLAHE stage."""
-    bh, w = img_ref.shape
-    t = lut_ref.shape[1]
-    bins = jax.lax.broadcasted_iota(jnp.int32, (bh, w, 256), 2)
+    The one-hot (bh, bw, 256) tensor lives only in VMEM here — the XLA
+    formulation materializes it in HBM (~512 bytes of traffic per pixel),
+    which made LUT application the most expensive CLAHE stage."""
+    bh, bw = img_ref.shape
+    bins = jax.lax.broadcasted_iota(jnp.int32, (bh, bw, 256), 2)
     oh = (img_ref[:][:, :, None] == bins).astype(jnp.bfloat16)
     contrib = jax.lax.dot_general(
         oh, lut_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (bh, W, T)
+        preferred_element_type=jnp.float32)          # (bh, bw, T)
     out_ref[:] = (wts_ref[:] * contrib).sum(axis=-1)
 
 
 def clahe_lut_apply(img: jnp.ndarray, lut: jnp.ndarray,
                     wts: jnp.ndarray) -> jnp.ndarray:
     """(H, W) int32 pixel values, (256, T) bf16 per-tile LUTs, (H, W, T)
-    f32 bilinear tile weights -> (H, W) f32 interpolated LUT output."""
+    f32 bilinear tile weights -> (H, W) f32 interpolated LUT output.
+
+    2-D grid (rows x columns): the per-step VMEM footprint is a fixed
+    (8 * 512, 256) one-hot (~2 MB bf16) regardless of image width — wide
+    layers no longer blow VMEM (ADVICE r1: the row-only tiling grew
+    linearly with W and would fail Mosaic allocation around W ~ 2000)."""
     h, w = img.shape
     t = lut.shape[1]
-    pad = (-h) % _LUT_ROWS
-    if pad:
-        img = jnp.pad(img, ((0, pad), (0, 0)))
-        wts = jnp.pad(wts, ((0, pad), (0, 0), (0, 0)))
-    hp = h + pad
+    pad_h = (-h) % _LUT_ROWS
+    pad_w = (-w) % _LUT_COLS
+    if pad_h or pad_w:
+        img = jnp.pad(img, ((0, pad_h), (0, pad_w)))
+        wts = jnp.pad(wts, ((0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
     out = pl.pallas_call(
         _lut_apply_kernel,
-        grid=(hp // _LUT_ROWS,),
+        grid=(hp // _LUT_ROWS, wp // _LUT_COLS),
         in_specs=[
-            pl.BlockSpec((_LUT_ROWS, w), lambda i: (i, 0),
+            pl.BlockSpec((_LUT_ROWS, _LUT_COLS), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, t), lambda i: (0, 0),
+            pl.BlockSpec((256, t), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LUT_ROWS, w, t), lambda i: (i, 0, 0),
+            pl.BlockSpec((_LUT_ROWS, _LUT_COLS, t), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_LUT_ROWS, w), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_LUT_ROWS, _LUT_COLS), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=_interpret(),
     )(img, lut, wts)
-    return out[:h]
+    return out[:h, :w]

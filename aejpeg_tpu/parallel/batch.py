@@ -97,6 +97,59 @@ def device_encode_uniform(rgb: jnp.ndarray, space: str, block: int = 8,
     return out
 
 
+def sharded_dense_device_fn(cfg: CodecConfig, shape: Tuple[int, int],
+                            b: int, mesh, data_axes=None):
+    """The production batched encoder's device side (stage A + dense
+    stage B, codec/batch_encode.py) sharded over the mesh's data axes.
+
+    Images are pure data-parallel here BY DESIGN: the round-2 dense
+    pipeline computes every per-size level table without plan-dependent
+    gathers, so there is no ragged bucket axis left to redistribute — the
+    all-to-all the round-1 design would have needed died with the buckets.
+    Each device encodes b/n_dev whole images; concatenating shard outputs
+    along dim 0 reproduces the single-device arrays exactly (bi-major
+    plane order), so containers are byte-identical by construction
+    (asserted in tests/test_sharding.py).
+
+    Returns fn(batch_u8_or_f32 (B, H, W, 3)) ->
+    (packed_level_bits, stage-B outputs), both concatenated along dim 0.
+    """
+    import math as _math
+
+    from ..codec import batch_encode as be
+
+    if data_axes is None:
+        data_axes = tuple(mesh.shape.keys())
+    n_dev = 1
+    for a in data_axes:
+        n_dev *= mesh.shape[a]
+    if b % n_dev:
+        raise ValueError(f"batch {b} not divisible by {n_dev} devices")
+    b_loc = b // n_dev
+
+    layer_shapes = cfg.layer_shapes(shape)
+    mn, mx = cfg.block_size_range
+    k_lo = int(_math.log2(mn)) + 1
+    k_hi = int(_math.log2(mx))
+    band = None if mn == mx else (k_lo, k_hi)
+    stage_b_local, spec = be._stage_b_fn(cfg, shape, b_loc)
+
+    def local(batch):
+        group_planes, packed_bits = be._stage_a(
+            batch, cfg.color_space, layer_shapes, band, spec)
+        return packed_bits, stage_b_local(group_planes)
+
+    axes = P(data_axes)
+    outs_spec = tuple(
+        (tuple(axes for _ in g.sizes), tuple(axes for _ in g.sizes))
+        for g in spec.groups)
+    # check_vma=False: the Canny hysteresis while_loop carries a replicated
+    # convergence flag whose varying-axes type the checker can't unify.
+    fn = shard_map(local, mesh=mesh, in_specs=(axes,),
+                   out_specs=(axes, outs_spec), check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_encode_step(mesh, space: str = "YCoCg", block: int = 8):
     """Build the jitted multi-chip batch encode step for `mesh`.
 

@@ -43,6 +43,44 @@ def test_sharded_step_matches_single_device(batch):
             np.testing.assert_array_equal(flat[bi, :want.shape[0]], want)
 
 
+def test_dense_encode_mesh_byte_identical():
+    """The production quadtree-active encoder sharded over a (4, 2) mesh
+    must emit byte-identical containers to the single-device path (pure
+    data parallelism: each device encodes whole images; shard outputs
+    concatenate in bi-major order)."""
+    import cv2 as cv
+    from aejpeg_tpu import CodecConfig
+    from aejpeg_tpu.codec.batch_encode import encode_batch
+    from aejpeg_tpu.io.image import ImageData
+    rng = np.random.default_rng(3)
+    imgs = []
+    for _ in range(8):
+        small = rng.random((10, 12, 3), np.float32)
+        img = np.clip(cv.resize(small, (120, 100),
+                                interpolation=cv.INTER_CUBIC), 0, 1)
+        imgs.append(ImageData.from_array(img.astype(np.float32),
+                                         extension=".png"))
+    cfg = CodecConfig("YCoCg", (20, 80), (4, 32))
+    single = encode_batch(imgs, cfg)
+    mesh = make_mesh((4, 2))
+    sharded = encode_batch(imgs, cfg, mesh=mesh)
+    assert sharded == single
+
+
+def test_dense_encode_mesh_uniform_and_divisibility():
+    from aejpeg_tpu import CodecConfig
+    from aejpeg_tpu.codec.batch_encode import encode_batch
+    from aejpeg_tpu.io.image import ImageData
+    rng = np.random.default_rng(4)
+    imgs = [ImageData.from_array(rng.random((64, 64, 3)).astype(np.float32))
+            for _ in range(8)]
+    cfg = CodecConfig("YCbCr", (50, 50), (8, 8))
+    mesh = make_mesh((4, 2))
+    assert encode_batch(imgs, cfg, mesh=mesh) == encode_batch(imgs, cfg)
+    with pytest.raises(ValueError):
+        encode_batch(imgs[:3], cfg, mesh=mesh)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     sys.path.insert(0, "/root/repo")

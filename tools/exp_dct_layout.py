@@ -50,11 +50,5 @@ for s in (4, 8, 16, 32, 64):
         jnp.asarray(planes), d, s=s))
     b = b4.transpose(0, 1, 3, 2, 4).reshape(-1, s, s)
     eq_sep = np.array_equal(a, b)
-    # kron flat vs separable
-    k = np.asarray(jax.jit(dct.dct2_flat, static_argnames=("size",))(
-        blocks.reshape(-1, s * s), size=s)).reshape(-1, s, s)
-    eq_kron = np.array_equal(a, k)
     md = np.abs(a - b).max()
-    mk = np.abs(a - k).max()
-    print(f"s={s:3d}  sep(N,s,s)==sep(dense): {eq_sep} (maxdiff {md:.3e})  "
-          f"sep==kron: {eq_kron} (maxdiff {mk:.3e})")
+    print(f"s={s:3d}  sep(N,s,s)==sep(dense): {eq_sep} (maxdiff {md:.3e})")

@@ -119,25 +119,6 @@ def main():
         return tuple(dense_dct(pl, s) for s in (8, 16, 32, 64))
     timeit("dense sep DCT all sizes", dense_all, planes)
 
-    # dense kron-zigzag matmul path for comparison (s=8 via tiles8)
-    mz8 = jnp.asarray(dct.tiled_zigzag_matrix(8))
-
-    @jax.jit
-    def kron8(t):
-        return jnp.round(
-            jnp.einsum("nk,kl->nl", t, mz8, precision="highest")
-        ).astype(jnp.int16)
-    timeit("dense kron-zz s=8 (all tiles)", kron8, tiles8)
-
-    m4 = jnp.asarray(dct.quad4_zigzag_matrix())
-
-    @jax.jit
-    def quad4(t):
-        return jnp.round(
-            jnp.einsum("nk,kl->nl", t, m4, precision="highest")
-        ).astype(jnp.int16)
-    timeit("dense quad4-zz (all tiles)", quad4, tiles8)
-
 
 if __name__ == "__main__":
     main()
