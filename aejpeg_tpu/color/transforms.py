@@ -59,6 +59,25 @@ def linear_to_srgb(v):
 # free from Numba type promotion, src/color/common.py:94-159; TPUs have no
 # f64, so we carry (hi, lo) f32 pairs instead).
 
+def _pq_inverse_df(y_df, m2):
+    """Luminance -> PQ signal, df32 in / df32 out (see pq_inverse_eotf)."""
+    yhi, ylo = y_df
+    clamp = yhi < np.float32(1e-30)
+    hi = jnp.maximum(yhi, np.float32(1e-30))
+    lo = jnp.where(clamp, 0.0, ylo)
+    w = dfl.df_mul((hi, lo), dfl.df_const_like(1.0 / C.PQ_LP, hi))
+    t = dfl.df_pow(w, dfl.df_const_like(C.PQ_M1, hi))
+    num = dfl.df_add(dfl.df_const_like(C.PQ_C1, hi),
+                     dfl.df_mul_f32(t, np.float32(C.PQ_C2)))
+    den = dfl.df_add(dfl.df(jnp.ones_like(hi)),
+                     dfl.df_mul_f32(t, np.float32(C.PQ_C3)))
+    e = dfl.df_pow(dfl.df_div(num, den), dfl.df_const_like(m2, hi))
+    z_hi, z_lo = dfl.df_const(float(C.PQ_C1) ** m2)
+    mask = yhi <= 0.0
+    return (jnp.where(mask, z_hi, e[0]).astype(jnp.float32),
+            jnp.where(mask, z_lo, e[1]).astype(jnp.float32))
+
+
 def pq_inverse_eotf(y, m2=C.PQ_M2):
     """Luminance -> PQ signal (src/color/common.py:131-159).
 
@@ -66,39 +85,65 @@ def pq_inverse_eotf(y, m2=C.PQ_M2):
     Negative inputs are clamped to 0 (the reference's fastmath kernels would
     produce NaN; valid in-gamut inputs never go negative)."""
     y = jnp.asarray(y, jnp.float32)
-    ysafe = jnp.maximum(y, np.float32(1e-30))
-    w = dfl.df_mul(dfl.df(ysafe), dfl.df_const_like(1.0 / C.PQ_LP, ysafe))
-    t = dfl.df_pow(w, dfl.df_const_like(C.PQ_M1, ysafe))
-    num = dfl.df_add(dfl.df_const_like(C.PQ_C1, ysafe),
-                     dfl.df_mul_f32(t, np.float32(C.PQ_C2)))
-    den = dfl.df_add(dfl.df(jnp.ones_like(ysafe)),
-                     dfl.df_mul_f32(t, np.float32(C.PQ_C3)))
-    e = dfl.df_pow(dfl.df_div(num, den), dfl.df_const_like(m2, ysafe))
-    at_zero = np.float32(C.PQ_C1 ** m2)
-    return jnp.where(y <= 0.0, at_zero, dfl.df_to_f32(e)).astype(jnp.float32)
+    return dfl.df_to_f32(_pq_inverse_df(dfl.df(y), m2)).astype(jnp.float32)
 
 
-def pq_eotf(e, m2=C.PQ_M2):
-    """PQ signal -> luminance, with the reference's clamps
-    (src/color/common.py:94-129): num < 0 -> 0, den <= 0 -> 1e-12."""
-    e = jnp.asarray(e, jnp.float32)
-    esafe = jnp.maximum(e, np.float32(1e-30))
-    lne = dfl.df_log(dfl.df(esafe))
-    u = dfl.df_exp(dfl.df_mul(lne, dfl.df_const_like(1.0 / m2, esafe)))
-    num = dfl.df_add(u, dfl.df_const_like(-C.PQ_C1, esafe))
-    den = dfl.df_add(dfl.df_const_like(C.PQ_C2, esafe),
+def _pq_eotf_df(e_df, m2):
+    """PQ signal -> luminance, df32 in / df32 out (see pq_eotf)."""
+    ehi, elo = e_df
+    clamp = ehi < np.float32(1e-30)
+    hi = jnp.maximum(ehi, np.float32(1e-30))
+    lo = jnp.where(clamp, 0.0, elo)
+    lne = dfl.df_log((hi, lo))
+    u = dfl.df_exp(dfl.df_mul(lne, dfl.df_const_like(1.0 / m2, hi)))
+    num = dfl.df_add(u, dfl.df_const_like(-C.PQ_C1, hi))
+    den = dfl.df_add(dfl.df_const_like(C.PQ_C2, hi),
                      dfl.df_mul_f32(u, np.float32(-C.PQ_C3)))
-    nonpos = (e <= 0.0) | (num[0] <= 0.0)
+    nonpos = (ehi <= 0.0) | (num[0] <= 0.0)
     num = (jnp.where(nonpos, 1.0, num[0]), jnp.where(nonpos, 0.0, num[1]))
     den_bad = den[0] <= 0.0
     den = (jnp.where(den_bad, np.float32(1e-12), den[0]),
            jnp.where(den_bad, 0.0, den[1]))
     t = dfl.df_div(num, den)
     lny = dfl.df_add(dfl.df_mul(dfl.df_log(t),
-                                dfl.df_const_like(1.0 / C.PQ_M1, esafe)),
-                     dfl.df_const_like(math.log(C.PQ_LP), esafe))
-    y = dfl.df_to_f32(dfl.df_exp(lny))
-    return jnp.where(nonpos, 0.0, y).astype(jnp.float32)
+                                dfl.df_const_like(1.0 / C.PQ_M1, hi)),
+                     dfl.df_const_like(math.log(C.PQ_LP), hi))
+    y = dfl.df_exp(lny)
+    return (jnp.where(nonpos, 0.0, y[0]).astype(jnp.float32),
+            jnp.where(nonpos, 0.0, y[1]).astype(jnp.float32))
+
+
+def pq_eotf(e, m2=C.PQ_M2):
+    """PQ signal -> luminance, with the reference's clamps
+    (src/color/common.py:94-129): num < 0 -> 0, den <= 0 -> 1e-12."""
+    e = jnp.asarray(e, jnp.float32)
+    return dfl.df_to_f32(_pq_eotf_df(dfl.df(e), m2)).astype(jnp.float32)
+
+
+def _dot3_df(x_df, m64: np.ndarray):
+    """df32 (..., 3) x f64 3x3 matrix -> df32 (..., 3); each constant is
+    carried as a (hi, lo) f32 pair, products/sums error-compensated."""
+    hi, lo = x_df
+    outs = []
+    for j in range(3):
+        acc = None
+        for i in range(3):
+            c = dfl.df_const_like(float(m64[j, i]), hi[..., i])
+            term = dfl.df_mul((hi[..., i], lo[..., i]), c)
+            acc = term if acc is None else dfl.df_add(acc, term)
+        outs.append(acc)
+    return (jnp.stack([o[0] for o in outs], axis=-1),
+            jnp.stack([o[1] for o in outs], axis=-1))
+
+
+@functools.lru_cache(maxsize=None)
+def _f64_pair(name: str):
+    """(M, M^-1) of a constants.py 3x3 matrix, inverted in FLOAT64 — the
+    f32-LAPACK inverses cost ~1 decimal digit that the PQ exponent then
+    amplifies past the 1e-4 round-trip bound on a handful of lattice
+    points."""
+    m64 = getattr(C, name).astype(np.float64)
+    return m64, np.linalg.inv(m64)
 
 
 # ------------------------------------------------------------------ 3x3 spaces
@@ -151,16 +196,23 @@ def oklab_to_srgb(lab):
 
 # ---------------------------------------------------------------------- ICtCp
 def srgb_to_ictcp(rgb):
+    """XYZ -> LMS -> PQ -> ICtCp entirely in df32 (rounded once at the
+    output): the PQ exponent amplifies any f32 matmul rounding past the
+    reference's 1e-4 full-lattice round-trip bound."""
     xyz = srgb_to_xyz(rgb)
-    lms = _dot3(xyz, C.ICTCP_M_XYZ_TO_LMS)
-    lms_p = pq_inverse_eotf(lms)
-    return _dot3(lms_p, C.ICTCP_M_LMSP_TO_ICTCP)
+    m_lms, _ = _f64_pair("ICTCP_M_XYZ_TO_LMS")
+    m_ict, _ = _f64_pair("ICTCP_M_LMSP_TO_ICTCP")
+    lms = _dot3_df(dfl.df(jnp.asarray(xyz, jnp.float32)), m_lms)
+    lms_p = _pq_inverse_df(lms, C.PQ_M2)
+    return dfl.df_to_f32(_dot3_df(lms_p, m_ict)).astype(jnp.float32)
 
 
 def ictcp_to_srgb(ictcp):
-    lms_p = _dot3(ictcp, C.ICTCP_M_ICTCP_TO_LMSP)
-    lms = pq_eotf(lms_p)
-    xyz = _dot3(lms, C.ICTCP_M_LMS_TO_XYZ)
+    m_lms, m_lms_inv = _f64_pair("ICTCP_M_XYZ_TO_LMS")
+    _, m_ict_inv = _f64_pair("ICTCP_M_LMSP_TO_ICTCP")
+    lms_p = _dot3_df(dfl.df(jnp.asarray(ictcp, jnp.float32)), m_ict_inv)
+    lms = _pq_eotf_df(lms_p, C.PQ_M2)
+    xyz = dfl.df_to_f32(_dot3_df(lms, m_lms_inv)).astype(jnp.float32)
     return xyz_to_srgb(xyz)
 
 

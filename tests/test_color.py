@@ -2,8 +2,9 @@
 
 Model of the reference's exhaustive lattice round-trip test
 (test/unit_tests/test_color_conversions.py:27-82): round-trip error must stay
-< 1e-4 (max and mean).  On CPU CI we use a 64^3 lattice + random pixels; the
-TPU acceptance run (tests/tpu/) uses the full 256^3 grid.
+< 1e-4 (max and mean).  On CPU CI we use a 48^3 lattice + 200k random pixels;
+the full 256^3 acceptance run lives in tests/tpu/test_color_full.py (runs on
+the real chip, or anywhere with AEJPEG_FULL_LATTICE=1).
 """
 
 import jax
