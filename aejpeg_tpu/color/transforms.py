@@ -16,6 +16,7 @@ kernels would produce NaN on negative bases; valid sRGB-gamut inputs never
 hit that branch).
 """
 
+import functools
 import math
 
 import jax.numpy as jnp
