@@ -297,57 +297,60 @@ def _sync_all(tree) -> None:
 
 def _build_plans(cfg: CodecConfig, layer_shapes, levels_bits: np.ndarray,
                  band: Tuple[int, int], b: int):
-    """Quadtree plans per (image, layer) from the bit-packed pooled levels
-    (native C++ DFS, Python fallback)."""
+    """Quadtree plans per (image, layer) from the bit-packed pooled levels.
+
+    One batched C++ call plans all B x 3 layers on an internal thread pool,
+    reading the packed bits directly and emitting container-format packed
+    state streams (round 2 looped 3B ctypes calls with numpy slicing and
+    unpacked the whole level tensor first — ~1 ms/plan of pure Python
+    overhead).  Python fallback when the native library is unavailable."""
     mn, mx = cfg.block_size_range
     k_lo, k_hi = int(math.log2(mn)) + 1, int(math.log2(mx))
     if mn == mx:
         return [[qt.uniform_plan(lh, lw, mn) for (lh, lw) in layer_shapes]
                 for _ in range(b)]
     layout, nbits = _level_layout(layer_shapes, band)
+    roots = [qt.root_size_for(lh, lw) for (lh, lw) in layer_shapes]
+    n_k = k_hi - k_lo + 1
+    bit_offs = np.zeros((3, n_k), np.int64)
+    for li, k, g, off in layout:
+        if k_lo <= k <= k_hi:
+            bit_offs[li, k - k_lo] = off
+    res = native_entropy.build_plans_batch(
+        levels_bits, roots, [s[0] for s in layer_shapes],
+        [s[1] for s in layer_shapes], bit_offs, k_lo, k_hi, mx, mn)
+    if res is not None:
+        states_p, bits_len, sizes_a, ys_a, xs_a, n_leaves, totals = res
+        plans = []
+        for bi in range(b):
+            row = []
+            for li in range(3):
+                t = bi * 3 + li
+                nl = int(n_leaves[t])
+                bl = int(bits_len[t])
+                row.append(qt.QuadPlan(
+                    root_size=roots[li], height=layer_shapes[li][0],
+                    width=layer_shapes[li][1], states=None,
+                    leaf_sizes=sizes_a[t, :nl], leaf_y=ys_a[t, :nl],
+                    leaf_x=xs_a[t, :nl],
+                    states_packed=states_p[t, :(bl + 7) // 8].tobytes(),
+                    bits_len=bl))
+            plans.append(row)
+        return plans
+    # pure-Python fallback
     levels_np = np.unpackbits(levels_bits, axis=1)[:, :nbits]
-    per_layer: Dict[int, Tuple[int, int, list]] = {}
+    plans = []
+    per = [[{} for _ in range(3)] for _ in range(b)]
     for li, k, g, off in layout:
         if k > k_hi:
             continue
-        start, end, offs = per_layer.get(li, (off, off, []))
-        offs.append(off)
-        per_layer[li] = (min(start, off), max(end, off + g * g), offs)
-    plans: List[List[qt.QuadPlan]] = []
-    native_ok = True
-    for bi in range(b):
-        row = levels_np[bi]
-        plan_layers = []
-        for li in range(3):
-            lh, lw = layer_shapes[li]
-            root = qt.root_size_for(lh, lw)
-            start, end, offs = per_layer[li]
-            res = native_entropy.build_plan(
-                row[start:end], np.asarray(offs, np.int64) - start,
-                k_lo, k_hi, root, lh, lw, mx, mn) if native_ok else None
-            if res is None:
-                native_ok = False
-                break
-            states, sizes_a, ys_a, xs_a = res
-            plan_layers.append(qt.QuadPlan(
-                root_size=root, height=lh, width=lw, states=states,
-                leaf_sizes=sizes_a, leaf_y=ys_a, leaf_x=xs_a))
-        if not native_ok:
-            break
-        plans.append(plan_layers)
-    if not native_ok:
-        plans = []
-        per = [[{} for _ in range(3)] for _ in range(b)]
-        for li, k, g, off in layout:
-            if k > k_hi:
-                continue
-            block = levels_np[:, off:off + g * g].reshape(b, g, g)
-            for bi in range(b):
-                per[bi][li][k] = block[bi].astype(bool)
+        block = levels_np[:, off:off + g * g].reshape(b, g, g)
         for bi in range(b):
-            plans.append([
-                qt.plan_from_levels(per[bi][li], *layer_shapes[li], mx, mn)
-                for li in range(3)])
+            per[bi][li][k] = block[bi].astype(bool)
+    for bi in range(b):
+        plans.append([
+            qt.plan_from_levels(per[bi][li], *layer_shapes[li], mx, mn)
+            for li in range(3)])
     return plans
 
 
@@ -491,43 +494,95 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
         slow_np.append(sn)
     mark("pull")
 
-    # ---- host: per-(image, layer) C++ assembly + entropy
-    use_native = native_entropy.native_available()
-
-    def assemble(bi: int) -> bytes:
-        writer = ContainerWriter(ContainerMetadata(
+    # ---- host: batched C++ assembly + entropy (one call, internal pool)
+    def metadata_for(bi: int) -> ContainerMetadata:
+        return ContainerMetadata(
             height=h, width=w, num_layers=3, color_space=cfg.color_space,
             quality_min=cfg.quality_range[0],
             quality_max=cfg.quality_range[1],
             block_size_min=mn, block_size_max=mx,
-            extension=images[bi].extension))
+            extension=images[bi].extension)
+
+    out_sizes = None
+    if native_entropy.native_available():
+        n_tasks = 3 * b
+        lp_s = np.empty(n_tasks, np.uint64)
+        lp_y = np.empty(n_tasks, np.uint64)
+        lp_x = np.empty(n_tasks, np.uint64)
+        n_leaves = np.empty(n_tasks, np.int64)
+        hs = np.empty(n_tasks, np.int32)
+        ws = np.empty(n_tasks, np.int32)
+        pws = np.empty(n_tasks, np.int32)
+        tbl = np.zeros((n_tasks, 8), np.uint64)
+        slw = np.zeros((n_tasks, 8), np.uint64)
+        totals = np.empty(n_tasks, np.int64)
+        keep = []   # keep contiguous leaf arrays alive through the call
+        for bi in range(b):
+            for li in range(3):
+                t = bi * 3 + li
+                gi, j = spec.layer_pos[li]
+                g = spec.groups[gi]
+                plan = plans[bi][li]
+                plane = bi * g.n_l + j
+                ls = np.ascontiguousarray(plan.leaf_sizes, np.int32)
+                ly = np.ascontiguousarray(plan.leaf_y, np.int32)
+                lx = np.ascontiguousarray(plan.leaf_x, np.int32)
+                keep.append((ls, ly, lx))
+                lp_s[t] = ls.ctypes.data
+                lp_y[t] = ly.ctypes.data
+                lp_x[t] = lx.ctypes.data
+                n_leaves[t] = len(ls)
+                hs[t] = plan.height
+                ws[t] = plan.width
+                pws[t] = g.pw
+                totals[t] = int((ls.astype(np.int64) ** 2).sum())
+                for si, s in enumerate(g.sizes):
+                    k = s.bit_length() - 1
+                    arr = dense_np[gi][si]
+                    tbl[t, k] = (arr.ctypes.data
+                                 + plane * arr.shape[1] * arr.shape[2] * 2)
+                    nb = g.n_boundary(s)
+                    if nb:
+                        sarr = slow_np[gi][si]
+                        slw[t, k] = (sarr.ctypes.data
+                                     + plane * nb * s * s * 2)
+        lens = totals * 4
+        chunks = (lens + (1 << 20) - 1) // (1 << 20) + 1
+        bounds = lens + lens // 500 + 32 * chunks + 64
+        arena_offs = np.zeros(n_tasks + 1, np.int64)
+        np.cumsum(bounds, out=arena_offs[1:])
+        arena = np.empty(int(arena_offs[-1]), np.uint8)
+        out_sizes = native_entropy.assemble_batch_native(
+            lp_s, lp_y, lp_x, n_leaves, hs, ws, pws, tbl, slw,
+            cfg.entropy_level, arena, arena_offs)
+
+    if out_sizes is not None:
+        out = []
+        for bi in range(b):
+            writer = ContainerWriter(metadata_for(bi))
+            for li in range(3):
+                t = bi * 3 + li
+                plan = plans[bi][li]
+                states_bytes, bits_len = plan.packed()
+                off = int(arena_offs[t])
+                writer.add_layer(LayerPayload(
+                    bits_len, plan.root_size, states_bytes, coeffs=None,
+                    compressed=arena[off:off + int(out_sizes[t])].tobytes()))
+            out.append(writer.tobytes())
+        mark("assemble")
+        return out
+
+    # pure-Python fallback (no native library)
+    def assemble(bi: int) -> bytes:
+        writer = ContainerWriter(metadata_for(bi))
         for li in range(3):
             gi, j = spec.layer_pos[li]
             g = spec.groups[gi]
             plan = plans[bi][li]
             plane = bi * g.n_l + j
-            states_bytes, bits_len = qt.pack_states(plan.states)
-            comp = None
-            if use_native:
-                table_ptrs = (ctypes.c_void_p * 8)()
-                slow_ptrs = (ctypes.c_void_p * 8)()
-                for si, s in enumerate(g.sizes):
-                    k = s.bit_length() - 1
-                    arr = dense_np[gi][si]
-                    table_ptrs[k] = (arr.ctypes.data
-                                     + plane * arr.shape[1] * arr.shape[2] * 2)
-                    nb = g.n_boundary(s)
-                    if nb:
-                        sarr = slow_np[gi][si]
-                        slow_ptrs[k] = (sarr.ctypes.data
-                                        + plane * nb * s * s * 2)
-                comp = native_entropy.layer_payload(
-                    plan.leaf_sizes, plan.leaf_y, plan.leaf_x,
-                    plan.height, plan.width, g.pw, table_ptrs, slow_ptrs,
-                    cfg.entropy_level, threads=2 if b == 1 else 1)
-            if comp is None:
-                comp = _payload_numpy(plan, g, dense_np[gi], slow_np[gi],
-                                      plane, cfg.entropy_level)
+            states_bytes, bits_len = plan.packed()
+            comp = _payload_numpy(plan, g, dense_np[gi], slow_np[gi],
+                                  plane, cfg.entropy_level)
             writer.add_layer(LayerPayload(bits_len, plan.root_size,
                                           states_bytes, coeffs=None,
                                           compressed=comp))

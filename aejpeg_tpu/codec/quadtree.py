@@ -40,10 +40,19 @@ class QuadPlan:
     root_size: int
     height: int
     width: int
-    states: np.ndarray        # (n_nodes,) uint8 in preorder
+    states: np.ndarray        # (n_nodes,) uint8 in preorder (may be None
+                              # when states_packed is set)
     leaf_sizes: np.ndarray    # (n_leaves,) int32 in preorder
     leaf_y: np.ndarray        # (n_leaves,) int32
     leaf_x: np.ndarray        # (n_leaves,) int32
+    states_packed: bytes = None   # container-format 2-bit stream (optional)
+    bits_len: int = 0             # valid with states_packed
+
+    def packed(self):
+        """(states_bytes, bits_len) in container format."""
+        if self.states_packed is not None:
+            return self.states_packed, self.bits_len
+        return pack_states(self.states)
 
     def buckets(self) -> Dict[int, np.ndarray]:
         """size -> indices into the preorder leaf arrays, preorder-stable."""

@@ -35,43 +35,67 @@ namespace {
 struct ChunkResult {
   std::vector<unsigned char> data;
   bool ok = false;
+  uint32_t adler = 1;  // adler32 of the chunk's plaintext (sparse paths)
 };
+
+// Adler32 computed from run structure instead of a separate byte pass.
+// All accumulation is deferred-mod uint64: between reduce() calls at most
+// 2^22 plaintext bytes are absorbed, keeping every intermediate product
+// < 2^63 (worst case: c*(L*(L+1)/2) = 255 * (2^22)^2/2 ~ 2.2e15).
+struct RunAdler {
+  uint64_t a = 1, b = 0, since = 0;
+  inline void reduce() {
+    a %= 65521;
+    b %= 65521;
+    since = 0;
+  }
+  inline void absorbed(uint64_t nbytes) {
+    since += nbytes;
+    if (since >= (1u << 22)) reduce();
+  }
+  // run of `m` zero bytes: a unchanged, b += m*a
+  inline void zero_run(uint64_t m) {
+    b += m * a;
+    absorbed(m);
+  }
+  // run of L copies of byte c
+  inline void byte_run(unsigned c, uint64_t L) {
+    b += L * a + static_cast<uint64_t>(c) * (L * (L + 1) / 2);
+    a += L * c;
+    absorbed(L);
+  }
+  inline void byte(unsigned c) {
+    a += c;
+    b += a;
+    absorbed(1);
+  }
+  // r repetitions of the 4-byte word (lo, hi, sb, sb) — one widened int16
+  inline void word_rep(unsigned lo, unsigned hi, unsigned sb, uint64_t r) {
+    uint64_t S = lo + hi + 2ull * sb;          // per-word sum
+    uint64_t T = 4ull * lo + 3ull * hi + 3ull * sb;  // weighted in-word sum
+    b += 4 * r * a + 4 * S * (r * (r - 1) / 2) + r * T;
+    a += r * S;
+    absorbed(4 * r);
+  }
+  uint32_t value() {
+    reduce();
+    return static_cast<uint32_t>((b << 16) | a);
+  }
+};
+
+// adler32(A || B) from adler32(A), adler32(B), len(B)  (zlib combine rule)
+inline uint32_t adler_join(uint32_t ad1, uint32_t ad2, uint64_t len2) {
+  const uint32_t MOD = 65521;
+  uint64_t rem = len2 % MOD;
+  uint64_t a1 = ad1 & 0xFFFF, b1 = ad1 >> 16;
+  uint64_t a2 = ad2 & 0xFFFF, b2 = ad2 >> 16;
+  uint64_t a = (a1 + a2 + MOD - 1) % MOD;
+  uint64_t b = (b1 + b2 + rem * (a1 + MOD - 1) % MOD + MOD) % MOD;
+  return static_cast<uint32_t>((b << 16) | a);
+}
 
 // ------------------------------------------------------------------ sparse
 // Hand-rolled deflate encoder (RFC 1951) with the Z_RLE token set.
-
-class BitWriter {
- public:
-  explicit BitWriter(std::vector<unsigned char>* out) : out_(out) {}
-  // append `n` bits (n <= 32), LSB-first per deflate
-  inline void put(uint32_t bits, int n) {
-    hold_ |= static_cast<uint64_t>(bits) << nbits_;
-    nbits_ += n;
-    if (nbits_ >= 32) {
-      uint32_t w = static_cast<uint32_t>(hold_);
-      size_t sz = out_->size();
-      out_->resize(sz + 4);
-      std::memcpy(out_->data() + sz, &w, 4);  // little-endian hosts only
-      hold_ >>= 32;
-      nbits_ -= 32;
-    }
-  }
-  // drain the hold and pad to byte boundary with zero bits
-  void align() {
-    while (nbits_ > 0) {
-      out_->push_back(static_cast<unsigned char>(hold_ & 0xFF));
-      hold_ >>= 8;
-      nbits_ -= 8;
-    }
-    hold_ = 0;
-    nbits_ = 0;
-  }
-
- private:
-  std::vector<unsigned char>* out_;
-  uint64_t hold_ = 0;
-  int nbits_ = 0;
-};
 
 // RFC 1951 length code table (symbols 257..285)
 static const uint16_t LBASE[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
@@ -189,7 +213,8 @@ void canonical_codes(const uint8_t* lens, int n, int limit, uint16_t* codes) {
 // matches for repeated int32 patterns.  Emitter: lit(b), match(len, dist)
 // with dist in {1, 4}.
 template <typename E>
-inline void scan_tokens(const unsigned char* p, size_t n, E&& e) {
+inline void scan_tokens(const unsigned char* p, size_t n, E&& e,
+                        RunAdler* ad = nullptr) {
   size_t i = 0;
   while (i < n) {
     unsigned char b = p[i];
@@ -207,6 +232,7 @@ inline void scan_tokens(const unsigned char* p, size_t n, E&& e) {
     }
     size_t run = j - i;
     if (run >= 4) {
+      if (ad) ad->byte_run(b, run);
       e.lit(b);
       size_t rem = run - 1;
       while (rem >= 3) {
@@ -225,45 +251,49 @@ inline void scan_tokens(const unsigned char* p, size_t n, E&& e) {
       size_t l = 0;
       while (l < lim && p[i + l] == p[i - 4 + l]) ++l;
       if (l >= 6) {
+        if (ad)
+          for (size_t k = 0; k < l; ++k) ad->byte(p[i + k]);
         e.match(l, 4);
         i += l;
         continue;
       }
     }
+    if (ad) ad->byte_run(b, run);
     for (size_t k = 0; k < run; ++k) e.lit(b);
     i = j;
   }
 }
 
-struct FreqCounter {
-  uint64_t freq[286] = {0};
-  uint64_t dfreq[30] = {0};
-  inline void lit(unsigned char b) { freq[b]++; }
-  inline void match(size_t len, int dist) {
-    freq[257 + kLen.idx[len]]++;
-    dfreq[dist == 1 ? 0 : 3]++;  // dist codes: 1->0, 4->3 (0 extra bits)
-  }
-};
-
 // Tokenize-once sink: records the token sequence (u16: <0x8000 literal,
 // else bit14 = dist-4 flag + low bits = match length) while counting
 // frequencies, so the emit pass replays tokens instead of rescanning the
 // input bytes — the byte scan is the dominant cost of the sparse encoder.
+// Tokens go into a caller-provided buffer (no capacity checks in the hot
+// loop; callers size it to the 1-token-per-byte worst case).
 struct TokenRecorder {
-  std::vector<uint16_t> toks;
+  uint16_t* toks = nullptr;
+  size_t ntok = 0;
   uint64_t freq[286] = {0};
   uint64_t dfreq[30] = {0};
   inline void lit(unsigned char b) {
-    toks.push_back(b);
+    toks[ntok++] = b;
     freq[b]++;
   }
   inline void match(size_t len, int dist) {
-    toks.push_back(static_cast<uint16_t>(0x8000 | (dist == 4 ? 0x4000 : 0) |
-                                         len));
+    toks[ntok++] = static_cast<uint16_t>(0x8000 | (dist == 4 ? 0x4000 : 0) |
+                                         len);
     freq[257 + kLen.idx[len]]++;
     dfreq[dist == 1 ? 0 : 3]++;
   }
 };
+
+// Per-thread token scratch, sized for `cap` tokens (worst case: one token
+// per plaintext byte).
+inline uint16_t* token_scratch(size_t cap) {
+  thread_local std::vector<uint16_t> buf;
+  if (buf.size() < cap) buf.resize(cap);
+  return buf.data();
+}
 
 // emit the code-length sequence with RLE symbols 16/17/18
 template <typename Sink>
@@ -325,7 +355,8 @@ void emit_stored(const unsigned char* src, size_t n, bool last,
 // Token set is the same (lit, match dist 1/4) as scan_tokens, so the
 // Huffman/emit machinery is shared.
 template <typename E>
-inline void scan_coeffs(const int16_t* v, size_t n, E&& e) {
+inline void scan_coeffs(const int16_t* v, size_t n, E&& e,
+                        RunAdler* ad = nullptr) {
   size_t zrun = 0;  // pending zero bytes
   auto flush_z = [&]() {
     if (zrun >= 4) {
@@ -354,6 +385,7 @@ inline void scan_coeffs(const int16_t* v, size_t n, E&& e) {
         j += 4;
       }
       while (j < n && v[j] == 0) ++j;
+      if (ad) ad->zero_run((j - i) * 4);
       zrun += (j - i) * 4;
       i = j;
       continue;
@@ -365,6 +397,7 @@ inline void scan_coeffs(const int16_t* v, size_t n, E&& e) {
     unsigned u = static_cast<uint16_t>(x);
     unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
     unsigned sb = x < 0 ? 0xFF : 0x00;
+    if (ad) ad->word_rep(lo, hi, sb, rep);
     if (rep >= 2) {
       // first word as literals, the rest as one 4-byte-period match run
       e.lit(lo);
@@ -406,32 +439,42 @@ inline void scan_coeffs(const int16_t* v, size_t n, E&& e) {
   flush_z();
 }
 
-// adler32 of the virtual int32-LE widening of int16 coefficients, computed
-// without materializing the bytes.  Matches zlib's adler32 over the widened
-// buffer (required for the zlib trailer).
-uint32_t adler32_coeffs(const int16_t* v, size_t n) {
-  uint32_t a = 1, b = 0;
-  size_t i = 0;
-  while (i < n) {
-    // NMAX for zlib is 5552 bytes; 1024 coeffs = 4096 bytes keeps both
-    // accumulators well inside uint32 between reductions.
-    size_t lim = i + 1024 < n ? i + 1024 : n;
-    for (; i < lim; ++i) {
-      unsigned u = static_cast<uint16_t>(v[i]);
-      unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
-      unsigned sb = v[i] < 0 ? 0xFF : 0x00;
-      b += 4 * a + 4 * lo + 3 * hi + 2 * sb + sb;
-      a += lo + hi + 2 * sb;
+// Raw-pointer bit writer: the caller preallocates the exact output size
+// (computable from the frequency tables), so the hot token loop has no
+// capacity checks or vector resizes.
+class PtrBitWriter {
+ public:
+  explicit PtrBitWriter(unsigned char* out) : out_(out) {}
+  inline void put(uint32_t bits, int n) {
+    hold_ |= static_cast<uint64_t>(bits) << nbits_;
+    nbits_ += n;
+    if (nbits_ >= 32) {
+      std::memcpy(out_, &hold_, 4);  // little-endian hosts only
+      out_ += 4;
+      hold_ >>= 32;
+      nbits_ -= 32;
     }
-    a %= 65521;
-    b %= 65521;
   }
-  return (b << 16) | a;
-}
+  void align() {
+    while (nbits_ > 0) {
+      *out_++ = static_cast<unsigned char>(hold_ & 0xFF);
+      hold_ >>= 8;
+      nbits_ -= 8;
+    }
+    hold_ = 0;
+    nbits_ = 0;
+  }
+  unsigned char* pos() const { return out_; }
+
+ private:
+  unsigned char* out_;
+  uint64_t hold_ = 0;
+  int nbits_ = 0;
+};
 
 // Shared Huffman-block emitter: tables + header + token replay from a
 // TokenRecorder.  Appends the dynamic-Huffman block (plus sync flush if not
-// last) to *body.
+// last) to *body; output size is computed exactly up front.
 void emit_token_block(const TokenRecorder& fc, bool last,
                       std::vector<unsigned char>* body) {
   uint8_t ll_lens[286];
@@ -466,7 +509,19 @@ void emit_token_block(const TokenRecorder& fc, bool last,
   int hclen = 19;
   while (hclen > 4 && cl_lens[CLORDER[hclen - 1]] == 0) hclen--;
 
-  BitWriter bw(body);
+  // exact bit count: header + code-length section + token section
+  uint64_t bits = 3 + 5 + 5 + 4 + 3ull * hclen;
+  cl_rle(seq.data(), static_cast<int>(seq.size()),
+         [&](int sym, int, int ebits) { bits += cl_lens[sym] + ebits; });
+  for (int i = 0; i < 286; ++i) bits += fc.freq[i] * ll_lens[i];
+  for (int c = 0; c < 29; ++c) bits += fc.freq[257 + c] * LBITS[c];
+  bits += fc.dfreq[0] * d_lens[0] + fc.dfreq[3] * d_lens[3];
+  if (!last) bits += 3;  // empty stored block header (sync flush)
+  size_t out_bytes = (bits + 7) / 8 + (last ? 0 : 4);
+
+  size_t base = body->size();
+  body->resize(base + out_bytes + 8);  // +8: 32-bit flush slack
+  PtrBitWriter bw(body->data() + base);
   bw.put(last ? 1 : 0, 1);
   bw.put(2, 2);  // dynamic huffman
   bw.put(hlit - 257, 5);
@@ -479,7 +534,9 @@ void emit_token_block(const TokenRecorder& fc, bool last,
            if (ebits) bw.put(extra, ebits);
          });
 
-  for (uint16_t t : fc.toks) {
+  const uint16_t* toks = fc.toks;
+  for (size_t ti = 0; ti < fc.ntok; ++ti) {
+    uint16_t t = toks[ti];
     if (t < 0x8000) {
       bw.put(ll_codes[t], ll_lens[t]);
     } else {
@@ -496,13 +553,15 @@ void emit_token_block(const TokenRecorder& fc, bool last,
     bw.put(0, 1);
     bw.put(0, 2);
     bw.align();
-    body->push_back(0x00);
-    body->push_back(0x00);
-    body->push_back(0xFF);
-    body->push_back(0xFF);
+    unsigned char* p = bw.pos();
+    p[0] = 0x00;
+    p[1] = 0x00;
+    p[2] = 0xFF;
+    p[3] = 0xFF;
   } else {
     bw.align();
   }
+  body->resize(base + out_bytes);
 }
 
 // One coefficient chunk -> raw deflate bits (byte-aligned at the end).
@@ -510,14 +569,16 @@ void sparse16_chunk(const int16_t* v, size_t n_coeffs, bool last,
                     ChunkResult* out) {
   out->ok = true;
   if (n_coeffs == 0) {
+    out->adler = 1;
     emit_stored(nullptr, 0, last, &out->data);
     return;
   }
   TokenRecorder fc;
-  fc.toks.reserve(n_coeffs / 3 + 16);
-  scan_coeffs(v, n_coeffs, fc);
+  fc.toks = token_scratch(4 * n_coeffs + 64);
+  RunAdler ad;
+  scan_coeffs(v, n_coeffs, fc, &ad);
+  out->adler = ad.value();
   fc.freq[256]++;  // EOB
-  out->data.reserve(n_coeffs / 2 + 64);
   emit_token_block(fc, last, &out->data);
   // stored fallback if huffman lost (essentially never for coefficient
   // data, but keeps the 4x expansion bound)
@@ -538,14 +599,16 @@ void sparse_chunk(const unsigned char* src, size_t n, bool last,
                   ChunkResult* out) {
   out->ok = true;
   if (n == 0) {
+    out->adler = 1;
     emit_stored(src, 0, last, &out->data);
     return;
   }
   TokenRecorder fc;
-  fc.toks.reserve(n / 6 + 16);
-  scan_tokens(src, n, fc);
+  fc.toks = token_scratch(n + 64);
+  RunAdler ad;
+  scan_tokens(src, n, fc, &ad);
+  out->adler = ad.value();
   fc.freq[256]++;  // EOB
-  out->data.reserve(n / 8 + 64);
   emit_token_block(fc, last, &out->data);
   // fall back to stored blocks if the huffman encoding lost
   size_t stored_cost = n + 5 * ((n + 65534) / 65535);
@@ -587,6 +650,456 @@ bool deflate_chunk(const unsigned char* src, size_t len, int level,
 uint32_t adler32_combine_all(const unsigned char* src, size_t len) {
   return static_cast<uint32_t>(
       adler32(adler32(0L, Z_NULL, 0), src, static_cast<uInt>(len)));
+}
+
+// Inflate a zlib stream; returns decompressed size or 0 on failure.
+size_t aej_inflate_impl(const unsigned char* src, size_t len,
+                        unsigned char* dst, size_t dst_cap) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return 0;
+  zs.next_in = const_cast<unsigned char*>(src);
+  zs.avail_in = static_cast<uInt>(len);
+  zs.next_out = dst;
+  zs.avail_out = static_cast<uInt>(dst_cap);
+  int rc = inflate(&zs, Z_FINISH);
+  size_t out = zs.total_out;
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END ? out : 0;
+}
+
+// ------------------------------------------------------------- task pool
+// Run f(0..n-1) on up to `threads` std::threads (atomic work stealing).
+template <typename F>
+void run_tasks(size_t n, int threads, F&& f) {
+  if (n == 0) return;
+  std::atomic<size_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= n) return;
+      f(i);
+    }
+  };
+  size_t nt = std::min<size_t>(threads < 1 ? 1 : threads, n);
+  if (nt <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt - 1);
+  for (size_t t = 1; t < nt; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+}
+
+// --------------------------------------------------- sparse-stream inflater
+// Token-domain decoder for the streams OUR sparse encoder emits (dynamic
+// Huffman blocks with distance codes {1, 4} plus stored blocks).  It never
+// materializes the widened int32 byte stream: zero runs just advance a
+// cursor over the (pre-zeroed) dense tables, and only nonzero coefficients
+// are narrowed and written.  Anything it doesn't recognize (general
+// distances, static blocks — i.e. real zlib output) returns UNSUPPORTED and
+// the caller falls back to zlib inflate.
+
+struct BitReader {
+  const unsigned char* p;
+  const unsigned char* end;
+  uint64_t hold = 0;
+  int nbits = 0;
+  inline void fill() {
+    if (p + 8 <= end) {
+      // Branchless 8-byte refill (libdeflate-style): hold may carry MORE
+      // valid stream bits than nbits claims; the overlap re-ORed on the
+      // next fill is bit-identical, so it is harmless.
+      uint64_t w;
+      std::memcpy(&w, p, 8);
+      hold |= w << nbits;
+      int take = (63 - nbits) >> 3;
+      p += take;
+      nbits += take * 8;
+      return;
+    }
+    while (nbits <= 56 && p < end) {
+      hold |= static_cast<uint64_t>(*p++) << nbits;
+      nbits += 8;
+    }
+  }
+  inline int64_t get(int n) {  // -1 on underflow
+    if (nbits < n) {
+      fill();
+      if (nbits < n) return -1;
+    }
+    int64_t v = static_cast<int64_t>(hold & ((1ull << n) - 1));
+    hold >>= n;
+    nbits -= n;
+    return v;
+  }
+  inline void drop(int n) {
+    hold >>= n;
+    nbits -= n;
+  }
+  inline void align_byte() {
+    int r = nbits & 7;
+    hold >>= r;
+    nbits -= r;
+  }
+};
+
+// Single-level Huffman decode table: entry = (sym << 4) | len, 0 = invalid.
+// Detects over-subscribed codes; incomplete codes leave invalid entries.
+bool build_decode_table(const uint8_t* lens, int n, int table_bits,
+                        uint16_t* table) {
+  std::memset(table, 0, sizeof(uint16_t) << table_bits);
+  int bl_count[16] = {0};
+  for (int i = 0; i < n; ++i) {
+    if (lens[i] > table_bits) return false;
+    bl_count[lens[i]]++;
+  }
+  bl_count[0] = 0;
+  uint32_t next[16] = {0};
+  uint32_t code = 0;
+  for (int l = 1; l <= table_bits; ++l) {
+    code = (code + bl_count[l - 1]) << 1;
+    next[l] = code;
+  }
+  for (int i = 0; i < n; ++i) {
+    int l = lens[i];
+    if (!l) continue;
+    uint32_t c = next[l]++;
+    if (c >= (1u << l)) return false;  // over-subscribed
+    uint32_t rc = bit_reverse(c, l);
+    uint16_t e = static_cast<uint16_t>((i << 4) | l);
+    for (uint32_t idx = rc; idx < (1u << table_bits); idx += (1u << l))
+      table[idx] = e;
+  }
+  return true;
+}
+
+// Streaming consumer: assembles the virtual int32-LE bytes back into
+// coefficients and scatters nonzero ones into the dense per-size tables,
+// walking the preorder leaf list.  All leaf geometry is validated before
+// use (malformed containers set `bad` instead of writing out of bounds).
+struct TableScatter {
+  const int32_t* sizes;
+  const int32_t* ys;
+  const int32_t* xs;
+  int64_t n_leaves;
+  int32_t pw, ph;
+  int16_t* const* tables;
+
+  int64_t li = -1;  // current leaf
+  int64_t oi = 0, s2 = 0;
+  int16_t* dst = nullptr;
+  uint32_t cur = 0;
+  int phase = 0;
+  uint8_t hist[4] = {0, 0, 0, 0};
+  uint64_t pos = 0;  // virtual bytes emitted
+  bool bad = false;
+
+  bool next_leaf() {
+    ++li;
+    if (li >= n_leaves) {
+      dst = nullptr;
+      s2 = 0;
+      oi = 0;
+      return false;
+    }
+    int32_t s = sizes[li];
+    if (s <= 0 || (s & (s - 1)) || s > 128) {
+      bad = true;
+      return false;
+    }
+    int k = 0;
+    while ((1 << k) < s) ++k;
+    if (!tables[k]) {
+      bad = true;
+      return false;
+    }
+    int32_t y = ys[li], x = xs[li];
+    if (y < 0 || x < 0 || (y % s) || (x % s) || y + s > ph || x + s > pw) {
+      bad = true;
+      return false;
+    }
+    s2 = static_cast<int64_t>(s) * s;
+    dst = tables[k] +
+          (static_cast<int64_t>(y / s) * (pw / s) + x / s) * s2;
+    oi = 0;
+    return true;
+  }
+  inline void commit(uint32_t w) {
+    if (!dst) {
+      bad = true;
+      return;
+    }
+    if (w) dst[oi] = static_cast<int16_t>(w);
+    if (++oi == s2) next_leaf();
+  }
+  inline void byte(unsigned c) {
+    hist[pos & 3] = static_cast<uint8_t>(c);
+    ++pos;
+    cur |= c << (8 * phase);
+    if (++phase == 4) {
+      phase = 0;
+      commit(cur);
+      cur = 0;
+    }
+  }
+  bool skip_zero_words(uint64_t nwords) {  // requires phase == 0
+    while (nwords) {
+      if (!dst) {
+        bad = true;
+        return false;
+      }
+      uint64_t room = static_cast<uint64_t>(s2 - oi);
+      if (nwords < room) {
+        oi += nwords;
+        return true;
+      }
+      nwords -= room;
+      next_leaf();
+      if (bad) return false;
+    }
+    return true;
+  }
+  bool run(int dist, uint32_t L) {
+    if (pos < static_cast<uint32_t>(dist)) return false;
+    if (dist == 1) {
+      unsigned c = hist[(pos - 1) & 3];
+      if (c == 0 && phase == 0 && L >= 8) {
+        uint64_t w = L >> 2;
+        if (!skip_zero_words(w)) return false;
+        pos += w * 4;
+        // the skipped bytes were all zero
+        hist[0] = hist[1] = hist[2] = hist[3] = 0;
+        for (uint32_t k = 0; k < (L & 3); ++k) byte(0);
+      } else {
+        for (uint32_t k = 0; k < L; ++k) byte(c);
+      }
+    } else {  // dist 4: repeat the previous word
+      for (uint32_t k = 0; k < L; ++k) byte(hist[pos & 3]);
+    }
+    return !bad;
+  }
+};
+
+enum { INF_OK = 1, INF_FALLBACK = 0, INF_BAD = -1 };
+
+// Decode a zlib stream produced by the sparse encoder straight into `sink`.
+// Returns INF_OK, INF_FALLBACK (valid-looking but uses features we don't
+// speed-decode — use zlib), or INF_BAD (malformed).
+int sparse_inflate_scatter(const unsigned char* comp, size_t comp_len,
+                           TableScatter& sink, uint64_t expect_bytes) {
+  if (comp_len < 6) return INF_BAD;
+  if ((comp[0] & 0x0F) != 8) return INF_BAD;  // not deflate/zlib
+  BitReader br{comp + 2, comp + comp_len - 4};
+  sink.next_leaf();
+  if (sink.bad) return INF_BAD;
+  thread_local std::vector<uint16_t> lltab(1 << 15), dtab(1 << 15);
+  for (;;) {
+    int64_t hdr = br.get(3);
+    if (hdr < 0) return INF_BAD;
+    int bfinal = static_cast<int>(hdr) & 1;
+    int btype = (static_cast<int>(hdr) >> 1) & 3;
+    if (btype == 0) {
+      br.align_byte();
+      int64_t len = br.get(16), nlen = br.get(16);
+      if (len < 0 || nlen < 0 || (len ^ 0xFFFF) != nlen) return INF_BAD;
+      for (int64_t k = 0; k < len; ++k) {
+        int64_t c = br.get(8);
+        if (c < 0) return INF_BAD;
+        sink.byte(static_cast<unsigned>(c));
+        if (sink.bad) return INF_BAD;
+      }
+    } else if (btype == 2) {
+      int64_t hlit = br.get(5), hdist = br.get(5), hclen = br.get(4);
+      if (hlit < 0 || hdist < 0 || hclen < 0) return INF_BAD;
+      int nlit = static_cast<int>(hlit) + 257;
+      int ndist = static_cast<int>(hdist) + 1;
+      int ncl = static_cast<int>(hclen) + 4;
+      if (nlit > 286 || ndist > 30) return INF_BAD;
+      uint8_t cl_lens[19] = {0};
+      for (int i = 0; i < ncl; ++i) {
+        int64_t v = br.get(3);
+        if (v < 0) return INF_BAD;
+        cl_lens[CLORDER[i]] = static_cast<uint8_t>(v);
+      }
+      uint16_t cltab[128];
+      if (!build_decode_table(cl_lens, 19, 7, cltab)) return INF_BAD;
+      uint8_t lens[286 + 30] = {0};
+      int need = nlit + ndist, i = 0;
+      while (i < need) {
+        if (br.nbits < 7) br.fill();
+        uint16_t e = cltab[br.hold & 0x7F];
+        int l = e & 0xF;
+        if (!e || l > br.nbits) return INF_BAD;
+        br.drop(l);
+        int sym = e >> 4;
+        if (sym < 16) {
+          lens[i++] = static_cast<uint8_t>(sym);
+        } else if (sym == 16) {
+          int64_t r = br.get(2);
+          if (r < 0 || i == 0) return INF_BAD;
+          r += 3;
+          if (i + r > need) return INF_BAD;
+          uint8_t pv = lens[i - 1];
+          while (r--) lens[i++] = pv;
+        } else if (sym == 17) {
+          int64_t r = br.get(3);
+          if (r < 0) return INF_BAD;
+          r += 3;
+          if (i + r > need) return INF_BAD;
+          i += static_cast<int>(r);
+        } else {
+          int64_t r = br.get(7);
+          if (r < 0) return INF_BAD;
+          r += 11;
+          if (i + r > need) return INF_BAD;
+          i += static_cast<int>(r);
+        }
+      }
+      if (!build_decode_table(lens, nlit, 15, lltab.data())) return INF_BAD;
+      if (!build_decode_table(lens + nlit, ndist, 15, dtab.data()))
+        return INF_BAD;
+      const uint16_t* ll = lltab.data();
+      const uint16_t* dd = dtab.data();
+      for (;;) {
+        if (br.nbits < 15) br.fill();
+        uint16_t e = ll[br.hold & 0x7FFF];
+        int l = e & 0xF;
+        if (!e || l > br.nbits) return INF_BAD;
+        br.drop(l);
+        int sym = e >> 4;
+        if (sym < 256) {
+          sink.byte(static_cast<unsigned>(sym));
+          if (sink.bad) return INF_BAD;
+          continue;
+        }
+        if (sym == 256) break;
+        int c = sym - 257;
+        if (c > 28) return INF_BAD;
+        int64_t extra = LBITS[c] ? br.get(LBITS[c]) : 0;
+        if (extra < 0) return INF_BAD;
+        uint32_t L = LBASE[c] + static_cast<uint32_t>(extra);
+        if (br.nbits < 15) br.fill();
+        uint16_t de = dd[br.hold & 0x7FFF];
+        int dl = de & 0xF;
+        if (!de || dl > br.nbits) return INF_BAD;
+        br.drop(dl);
+        int dsym = de >> 4;
+        int dist;
+        if (dsym == 0) {
+          dist = 1;
+        } else if (dsym == 3) {
+          dist = 4;
+        } else {
+          return INF_FALLBACK;  // general window distance: real zlib output
+        }
+        if (!sink.run(dist, L)) return INF_BAD;
+      }
+    } else if (btype == 1) {
+      return INF_FALLBACK;  // static Huffman: our encoder never emits it
+    } else {
+      return INF_BAD;
+    }
+    if (bfinal) break;
+  }
+  if (sink.bad || sink.phase != 0 || sink.li < sink.n_leaves ||
+      sink.pos != expect_bytes)
+    return INF_BAD;
+  return INF_OK;
+}
+
+// Replay packed 2-bit states into thread-local leaf arrays.  Returns the
+// leaf count (and the coefficient total via *total_out), or -1 when the
+// stream is malformed (root not a power of two / splits below size 2).
+struct LeafLists {
+  std::vector<int32_t> sizes, ys, xs;
+};
+int64_t replay_packed_states(const unsigned char* states_bytes,
+                             int64_t bits_len, int32_t root_size,
+                             LeafLists* out, int64_t* total_out) {
+  if (root_size <= 0 || (root_size & (root_size - 1)) ||
+      root_size > (1 << 20))
+    return -1;
+  int64_t n_states = bits_len / 2;
+  struct Node {
+    int32_t x, y, size;
+  };
+  std::vector<Node> stack;
+  stack.reserve(128);
+  stack.push_back({0, 0, root_size});
+  out->sizes.clear();
+  out->ys.clear();
+  out->xs.clear();
+  int64_t idx = 0, total = 0;
+  while (!stack.empty() && idx < n_states) {
+    Node nd = stack.back();
+    stack.pop_back();
+    int64_t t0 = 2 * idx, t1 = 2 * idx + 1;
+    unsigned st = (((states_bytes[t0 >> 3] >> (7 - (t0 & 7))) & 1u) << 1) |
+                  ((states_bytes[t1 >> 3] >> (7 - (t1 & 7))) & 1u);
+    ++idx;
+    if (st == 0) {
+      out->sizes.push_back(nd.size);
+      out->ys.push_back(nd.y);
+      out->xs.push_back(nd.x);
+      total += static_cast<int64_t>(nd.size) * nd.size;
+    } else if (st == 1) {
+      if (nd.size < 2) return -1;
+      int32_t half = nd.size >> 1;
+      stack.push_back({nd.x + half, nd.y + half, half});
+      stack.push_back({nd.x, nd.y + half, half});
+      stack.push_back({nd.x + half, nd.y, half});
+      stack.push_back({nd.x, nd.y, half});
+    }
+  }
+  *total_out = total;
+  return static_cast<int64_t>(out->sizes.size());
+}
+
+// Core of layer decode: replay + custom inflate-scatter with zlib fallback.
+// Returns leaf count or -1 (malformed).
+int64_t decode_layer_impl(const unsigned char* states_bytes,
+                          int64_t bits_len, int32_t root_size,
+                          const unsigned char* comp, size_t comp_len,
+                          int32_t pw, int32_t ph, int16_t* const* tables) {
+  thread_local LeafLists leaves;
+  int64_t total = 0;
+  int64_t nl = replay_packed_states(states_bytes, bits_len, root_size,
+                                    &leaves, &total);
+  if (nl < 0) return -1;
+  TableScatter sink{leaves.sizes.data(), leaves.ys.data(), leaves.xs.data(),
+                    nl, pw, ph, tables};
+  int rc = sparse_inflate_scatter(comp, comp_len, sink, 4 * total);
+  if (rc == INF_OK) return nl;
+  // fallback: generic zlib inflate + validated scatter (also the recovery
+  // path when the custom decode bailed after partial writes — it rewrites
+  // every coefficient of every leaf, so partial state is overwritten)
+  thread_local std::vector<int32_t> raw;
+  raw.resize(static_cast<size_t>(total));
+  if (aej_inflate_impl(comp, comp_len,
+                       reinterpret_cast<unsigned char*>(raw.data()),
+                       static_cast<size_t>(total) * 4) !=
+      static_cast<size_t>(total) * 4)
+    return -1;
+  const int32_t* src = raw.data();
+  for (int64_t i = 0; i < nl; ++i) {
+    int32_t s = leaves.sizes[i];
+    if (s <= 0 || (s & (s - 1)) || s > 128) return -1;
+    int k = 0;
+    while ((1 << k) < s) ++k;
+    if (!tables[k]) return -1;
+    int32_t y = leaves.ys[i], x = leaves.xs[i];
+    if (y < 0 || x < 0 || (y % s) || (x % s) || y + s > ph || x + s > pw)
+      return -1;
+    int64_t s2 = static_cast<int64_t>(s) * s;
+    int16_t* dst = tables[k] +
+                   (static_cast<int64_t>(y / s) * (pw / s) + x / s) * s2;
+    for (int64_t j = 0; j < s2; ++j) dst[j] = static_cast<int16_t>(src[j]);
+    src += s2;
+  }
+  return nl;
 }
 
 }  // namespace
@@ -636,7 +1149,13 @@ size_t aej_payload16(const int16_t* v, size_t n_coeffs, int threads,
     std::memcpy(p, r.data.data(), r.data.size());
     p += r.data.size();
   }
-  uint32_t ad = adler32_coeffs(v, n_coeffs);
+  // combine the per-chunk adlers computed inside the token scans
+  uint32_t ad = results[0].adler;
+  for (size_t i = 1; i < n_chunks; ++i) {
+    size_t off = i * chunk;
+    size_t nc = (off + chunk <= n_coeffs) ? chunk : (n_coeffs - off);
+    ad = adler_join(ad, results[i].adler, 4 * nc);
+  }
   *p++ = (ad >> 24) & 0xFF;
   *p++ = (ad >> 16) & 0xFF;
   *p++ = (ad >> 8) & 0xFF;
@@ -696,7 +1215,18 @@ size_t aej_deflate_parallel(const unsigned char* src, size_t len,
     std::memcpy(p, r.data.data(), r.data.size());
     p += r.data.size();
   }
-  uint32_t ad = adler32_combine_all(src, len);
+  uint32_t ad;
+  if (level < 0) {
+    // sparse chunks computed their adler inside the token scan
+    ad = results[0].adler;
+    for (size_t i = 1; i < n_chunks; ++i) {
+      size_t off = i * chunk_size;
+      size_t nb = (off + chunk_size <= len) ? chunk_size : (len - off);
+      ad = adler_join(ad, results[i].adler, nb);
+    }
+  } else {
+    ad = adler32_combine_all(src, len);
+  }
   *p++ = (ad >> 24) & 0xFF;
   *p++ = (ad >> 16) & 0xFF;
   *p++ = (ad >> 8) & 0xFF;
@@ -707,17 +1237,7 @@ size_t aej_deflate_parallel(const unsigned char* src, size_t len,
 // Inflate a zlib stream; returns decompressed size or 0 on failure.
 size_t aej_inflate(const unsigned char* src, size_t len, unsigned char* dst,
                    size_t dst_cap) {
-  z_stream zs;
-  std::memset(&zs, 0, sizeof(zs));
-  if (inflateInit(&zs) != Z_OK) return 0;
-  zs.next_in = const_cast<unsigned char*>(src);
-  zs.avail_in = static_cast<uInt>(len);
-  zs.next_out = dst;
-  zs.avail_out = static_cast<uInt>(dst_cap);
-  int rc = inflate(&zs, Z_FINISH);
-  size_t out = zs.total_out;
-  inflateEnd(&zs);
-  return rc == Z_STREAM_END ? out : 0;
+  return aej_inflate_impl(src, len, dst, dst_cap);
 }
 
 // Preorder stack replay of 2-bit quadtree states -> leaf (size, y, x),
@@ -825,6 +1345,123 @@ size_t aej_build_plan(const unsigned char* levels,
   return nl;
 }
 
+// Batched quadtree planning: B images x n_layers plans in one call on an
+// internal thread pool, reading the pooled has-edge levels directly from
+// the BIT-PACKED stage-A output (np.packbits MSB-first; round 2 unpacked
+// the whole tensor in Python first) and emitting the 2-bit state streams
+// already packed in container format (quadtree.pack_states parity).
+//
+// bits: (B, row_stride) bytes.  Per-layer geometry: roots/hs/ws.
+// bit_offs: (n_layers, n_k) bit offsets of each level mask within a row,
+// for k = k_lo .. k_lo + n_k - 1.  Outputs are arena rows indexed by
+// task t = b * n_layers + li: states_packed (sp_stride bytes per task,
+// zero-padded), bits_len_out (in bits), sizes/ys/xs (leaf_stride int32
+// per task), n_leaves_out, totals_out (sum of leaf size^2).  Returns the
+// number of failed tasks (capacity overflow).
+int64_t aej_build_plans_batch(
+    const unsigned char* bits, int64_t row_stride, int64_t B,
+    int32_t n_layers, const int32_t* roots, const int32_t* hs,
+    const int32_t* ws, const int64_t* bit_offs, int32_t n_k, int32_t k_lo,
+    int32_t max_size, int32_t min_size, unsigned char* states_packed,
+    int64_t sp_stride, int64_t* bits_len_out, int32_t* sizes_arena,
+    int32_t* ys_arena, int32_t* xs_arena, int64_t leaf_stride,
+    int64_t* n_leaves_out, int64_t* totals_out, int32_t threads) {
+  std::atomic<int64_t> failed(0);
+  int32_t k_hi = k_lo + n_k - 1;
+  run_tasks(static_cast<size_t>(B) * n_layers, threads, [&](size_t t) {
+    int64_t b = static_cast<int64_t>(t) / n_layers;
+    int32_t li = static_cast<int32_t>(t % n_layers);
+    const unsigned char* row = bits + b * row_stride;
+    const int64_t* offs = bit_offs + static_cast<int64_t>(li) * n_k;
+    int32_t root = roots[li], h = hs[li], w = ws[li];
+    unsigned char* sp = states_packed + static_cast<int64_t>(t) * sp_stride;
+    int32_t* sizes = sizes_arena + static_cast<int64_t>(t) * leaf_stride;
+    int32_t* ys = ys_arena + static_cast<int64_t>(t) * leaf_stride;
+    int32_t* xs = xs_arena + static_cast<int64_t>(t) * leaf_stride;
+
+    int lmax = 0;
+    while ((1 << (lmax + 1)) <= root) ++lmax;
+    int kmin = 0;
+    while ((1 << (kmin + 1)) <= min_size) ++kmin;
+    if (kmin > lmax) kmin = lmax;
+
+    struct Node {
+      int32_t x, y;
+      int32_t k;
+    };
+    std::vector<Node> stack;
+    stack.reserve(256);
+    stack.push_back({0, 0, lmax});
+    int64_t ns = 0, nl = 0, total = 0;
+    unsigned acc = 0;  // byte accumulator for 2-bit states, MSB-first
+    bool ok = true;
+    int64_t cap_states = sp_stride * 4, cap_leaves = leaf_stride;
+    auto emit_state = [&](unsigned st) {
+      acc = (acc << 2) | st;
+      if ((++ns & 3) == 0) {
+        sp[(ns >> 2) - 1] = static_cast<unsigned char>(acc);
+        acc = 0;
+      }
+    };
+    while (!stack.empty()) {
+      Node nd = stack.back();
+      stack.pop_back();
+      if (ns >= cap_states || nl >= cap_leaves) {
+        ok = false;
+        break;
+      }
+      if (nd.x >= w || nd.y >= h) {
+        emit_state(2);  // absent
+        continue;
+      }
+      int s = 1 << nd.k;
+      bool split = false;
+      if (nd.k > kmin) {
+        if (s > max_size) {
+          split = true;
+        } else if (s > min_size && nd.k >= k_lo && nd.k <= k_hi) {
+          int g = root >> nd.k;
+          int64_t idx = offs[nd.k - k_lo] +
+                        static_cast<int64_t>(nd.y >> nd.k) * g +
+                        (nd.x >> nd.k);
+          split = ((row[idx >> 3] >> (7 - (idx & 7))) & 1) != 0;
+        }
+      }
+      if (split) {
+        emit_state(1);
+        int32_t half = s >> 1;
+        int32_t ck = nd.k - 1;
+        stack.push_back({nd.x + half, nd.y + half, ck});
+        stack.push_back({nd.x, nd.y + half, ck});
+        stack.push_back({nd.x + half, nd.y, ck});
+        stack.push_back({nd.x, nd.y, ck});
+      } else {
+        emit_state(0);
+        sizes[nl] = s;
+        ys[nl] = nd.y;
+        xs[nl] = nd.x;
+        total += static_cast<int64_t>(s) * s;
+        ++nl;
+      }
+    }
+    if (!ok) {
+      n_leaves_out[t] = -1;
+      bits_len_out[t] = 0;
+      totals_out[t] = 0;
+      failed.fetch_add(1);
+      return;
+    }
+    if (ns & 3) {  // flush the padded final byte (np.packbits zero-pad)
+      sp[ns >> 2] =
+          static_cast<unsigned char>(acc << (8 - 2 * (ns & 3)));
+    }
+    bits_len_out[t] = 2 * ns;
+    n_leaves_out[t] = nl;
+    totals_out[t] = total;
+  });
+  return failed.load();
+}
+
 // Row index of a boundary (partial) block in the static per-(layer, size)
 // slow table.  Enumeration order (mirrored by the device-side bucket
 // builder in codec/batch_encode.py): first the partial right column, grid
@@ -859,7 +1496,9 @@ size_t aej_layer_payload(const int32_t* leaf_sizes, const int32_t* leaf_y,
   int64_t total = 0;
   for (int64_t i = 0; i < n_leaves; ++i)
     total += static_cast<int64_t>(leaf_sizes[i]) * leaf_sizes[i];
-  std::vector<int16_t> raw(static_cast<size_t>(total));
+  thread_local std::vector<int16_t> raw;
+  if (raw.size() < static_cast<size_t>(total))
+    raw.resize(static_cast<size_t>(total));
   int16_t* dst = raw.data();
   for (int64_t i = 0; i < n_leaves; ++i) {
     int32_t s = leaf_sizes[i];
@@ -890,6 +1529,39 @@ size_t aej_layer_payload(const int32_t* leaf_sizes, const int32_t* leaf_y,
       1 << 20);
 }
 
+// Batched layer assembly: n_tasks (image, layer) payloads gathered from the
+// dense tables and entropy-coded on an internal thread pool — one ctypes
+// call per batch.  leaf_* / tables / slow are per-task pointer arrays
+// (tables/slow: 8 slots per task); the payload for task i is written into
+// arena[arena_offs[i] .. arena_offs[i+1]) and its size into out_sizes[i]
+// (-1 on failure).  Returns the number of failed tasks.
+int64_t aej_assemble_batch(int64_t n_tasks,
+                           const int32_t* const* leaf_sizes,
+                           const int32_t* const* leaf_ys,
+                           const int32_t* const* leaf_xs,
+                           const int64_t* n_leaves, const int32_t* hs,
+                           const int32_t* ws, const int32_t* pws,
+                           const int16_t* const* tables,
+                           const int16_t* const* slow, int32_t level,
+                           int32_t threads, unsigned char* arena,
+                           const int64_t* arena_offs, int64_t* out_sizes) {
+  std::atomic<int64_t> failed(0);
+  run_tasks(static_cast<size_t>(n_tasks), threads, [&](size_t i) {
+    size_t cap = static_cast<size_t>(arena_offs[i + 1] - arena_offs[i]);
+    size_t n = aej_layer_payload(
+        leaf_sizes[i], leaf_ys[i], leaf_xs[i], n_leaves[i], hs[i], ws[i],
+        pws[i], tables + 8 * i, slow + 8 * i, level, 1,
+        arena + arena_offs[i], cap);
+    if (n == 0 && n_leaves[i] > 0) {
+      out_sizes[i] = -1;
+      failed.fetch_add(1);
+    } else {
+      out_sizes[i] = static_cast<int64_t>(n);
+    }
+  });
+  return failed.load();
+}
+
 // Decode one layer: unpack the 2-bit state stream (np.packbits MSB-first
 // convention), replay it to preorder leaf positions (the reference
 // traversal, src/jpeg/jpeg.py:768-800), inflate the coefficient stream and
@@ -901,57 +1573,34 @@ size_t aej_layer_payload(const int32_t* leaf_sizes, const int32_t* leaf_y,
 // stream.
 int64_t aej_decode_layer(const unsigned char* states_bytes, int64_t bits_len,
                          int32_t root_size, const unsigned char* comp,
-                         size_t comp_len, int32_t pw,
+                         size_t comp_len, int32_t pw, int32_t ph,
                          int16_t* const* tables) {
-  int64_t n_states = bits_len / 2;
-  struct Node {
-    int32_t x, y, size;
-  };
-  std::vector<Node> stack;
-  stack.reserve(128);
-  stack.push_back({0, 0, root_size});
-  std::vector<Node> leaves;
-  leaves.reserve(static_cast<size_t>(n_states));
-  int64_t idx = 0;
-  int64_t total = 0;
-  while (!stack.empty() && idx < n_states) {
-    Node nd = stack.back();
-    stack.pop_back();
-    int64_t t0 = 2 * idx, t1 = 2 * idx + 1;
-    unsigned st =
-        (((states_bytes[t0 >> 3] >> (7 - (t0 & 7))) & 1u) << 1) |
-        ((states_bytes[t1 >> 3] >> (7 - (t1 & 7))) & 1u);
-    ++idx;
-    if (st == 0) {
-      leaves.push_back(nd);
-      total += static_cast<int64_t>(nd.size) * nd.size;
-    } else if (st == 1) {
-      int32_t half = nd.size >> 1;
-      stack.push_back({nd.x + half, nd.y + half, half});
-      stack.push_back({nd.x, nd.y + half, half});
-      stack.push_back({nd.x + half, nd.y, half});
-      stack.push_back({nd.x, nd.y, half});
-    }
-  }
-  std::vector<int32_t> raw(static_cast<size_t>(total));
-  if (aej_inflate(comp, comp_len,
-                  reinterpret_cast<unsigned char*>(raw.data()),
-                  static_cast<size_t>(total) * 4) !=
-      static_cast<size_t>(total) * 4) {
-    return -1;
-  }
-  const int32_t* src = raw.data();
-  for (const Node& nd : leaves) {
-    int32_t s = nd.size;
-    int k = 0;
-    while ((1 << k) < s) ++k;
-    int64_t s2 = static_cast<int64_t>(s) * s;
-    int64_t row = static_cast<int64_t>(nd.y / s) * (pw / s) + nd.x / s;
-    int16_t* dst = tables[k] + row * s2;
-    for (int64_t j = 0; j < s2; ++j) dst[j] = static_cast<int16_t>(src[j]);
-    src += s2;
-  }
-  return static_cast<int64_t>(leaves.size());
+  return decode_layer_impl(states_bytes, bits_len, root_size, comp,
+                           comp_len, pw, ph, tables);
+}
+
+// Batched layer decode: n_tasks (container, layer) pairs decoded on an
+// internal thread pool — one ctypes call per batch instead of per layer
+// (the per-call Python overhead dominated round 2's decode 'parse' stage).
+// Per-task arrays are indexed by task; `tables` holds 8 pointers per task
+// (log2-size slots, this plane's rows).  out_leaves[i] = leaf count or -1
+// (malformed).  Returns the number of failed tasks.
+int64_t aej_decode_batch(int64_t n_tasks,
+                         const unsigned char* const* states,
+                         const int64_t* bits_lens, const int32_t* root_sizes,
+                         const unsigned char* const* comps,
+                         const int64_t* comp_lens, const int32_t* pws,
+                         const int32_t* phs, int16_t* const* tables,
+                         int32_t threads, int64_t* out_leaves) {
+  std::atomic<int64_t> failed(0);
+  run_tasks(static_cast<size_t>(n_tasks), threads, [&](size_t i) {
+    int64_t nl = decode_layer_impl(states[i], bits_lens[i], root_sizes[i],
+                                   comps[i], static_cast<size_t>(comp_lens[i]),
+                                   pws[i], phs[i], tables + 8 * i);
+    out_leaves[i] = nl;
+    if (nl < 0) failed.fetch_add(1);
+  });
+  return failed.load();
 }
 
 // Upper bound for aej_deflate_parallel output.

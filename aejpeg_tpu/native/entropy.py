@@ -90,7 +90,24 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.aej_decode_layer.restype = ctypes.c_int64
         lib.aej_decode_layer.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p,
-            ctypes.c_size_t, ctypes.c_int32, ctypes.c_void_p]
+            ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+        lib.aej_decode_batch.restype = ctypes.c_int64
+        lib.aej_decode_batch.argtypes = [ctypes.c_int64] + \
+            [ctypes.c_void_p] * 8 + [ctypes.c_int32, ctypes.c_void_p]
+        lib.aej_assemble_batch.restype = ctypes.c_int64
+        lib.aej_assemble_batch.argtypes = [ctypes.c_int64] + \
+            [ctypes.c_void_p] * 9 + [ctypes.c_int32, ctypes.c_int32,
+                                     ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p]
+        lib.aej_build_plans_batch.restype = ctypes.c_int64
+        lib.aej_build_plans_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32]
         _LIB = lib
         return _LIB
 
@@ -195,18 +212,110 @@ def layer_payload(leaf_sizes, leaf_y, leaf_x, h: int, w: int, pw: int,
 
 
 def decode_layer(states_bytes: bytes, bits_len: int, root_size: int,
-                 comp: bytes, pw: int, table_ptrs):
-    """Replay a layer's state stream, inflate its coefficient stream and
-    scatter zigzag-int16 rows into pre-zeroed dense tables (see entropy.cpp
-    aej_decode_layer).  Returns the leaf count, or None when unavailable /
-    malformed."""
+                 comp: bytes, pw: int, ph: int, table_ptrs):
+    """Replay a layer's state stream, decode its coefficient stream (custom
+    sparse inflater with zlib fallback) and scatter zigzag-int16 rows into
+    pre-zeroed dense tables (see entropy.cpp aej_decode_layer).  Leaf
+    geometry is bounds-validated against the (ph, pw) padded plane.
+    Returns the leaf count, or None when unavailable / malformed."""
     lib = _load()
     if lib is None:
         return None
     n = lib.aej_decode_layer(states_bytes, bits_len, root_size, comp,
-                             len(comp), pw,
+                             len(comp), pw, ph,
                              ctypes.cast(table_ptrs, ctypes.c_void_p))
     return None if n < 0 else int(n)
+
+
+def decode_batch_native(states_ptrs, bits_lens, root_sizes, comp_ptrs,
+                        comp_lens, pws, phs, table_ptrs,
+                        threads: Optional[int] = None):
+    """One call decoding n (container, layer) tasks on a C++ thread pool
+    (see entropy.cpp aej_decode_batch).  Pointer args are int64/int32 numpy
+    arrays (table_ptrs: (n, 8) uint64).  Returns the per-task leaf counts
+    (-1 = malformed), or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(bits_lens)
+    out = np.empty(n, np.int64)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    lib.aej_decode_batch(
+        n, states_ptrs.ctypes.data, bits_lens.ctypes.data,
+        root_sizes.ctypes.data, comp_ptrs.ctypes.data,
+        comp_lens.ctypes.data, pws.ctypes.data, phs.ctypes.data,
+        table_ptrs.ctypes.data, threads, out.ctypes.data)
+    return out
+
+
+def assemble_batch_native(leaf_size_ptrs, leaf_y_ptrs, leaf_x_ptrs,
+                          n_leaves, hs, ws, pws, table_ptrs, slow_ptrs,
+                          level: int, arena, arena_offs,
+                          threads: Optional[int] = None):
+    """One call assembling + entropy-coding n (image, layer) payloads on a
+    C++ thread pool (see entropy.cpp aej_assemble_batch).  Returns the
+    per-task payload sizes (-1 = failure), or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(n_leaves)
+    out = np.empty(n, np.int64)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    failed = lib.aej_assemble_batch(
+        n, leaf_size_ptrs.ctypes.data, leaf_y_ptrs.ctypes.data,
+        leaf_x_ptrs.ctypes.data, n_leaves.ctypes.data, hs.ctypes.data,
+        ws.ctypes.data, pws.ctypes.data, table_ptrs.ctypes.data,
+        slow_ptrs.ctypes.data, level, threads, arena.ctypes.data,
+        arena_offs.ctypes.data, out.ctypes.data)
+    if failed:
+        return None
+    return out
+
+
+def build_plans_batch(packed_bits: np.ndarray, roots, hs, ws, bit_offs,
+                      k_lo: int, k_hi: int, max_size: int, min_size: int,
+                      threads: Optional[int] = None):
+    """All B x n_layers quadtree plans in one call from the BIT-PACKED
+    pooled levels (see entropy.cpp aej_build_plans_batch).  Returns
+    (states_packed (T, sp_stride) u8, bits_len (T,) i64, sizes/ys/xs
+    (T, leaf_stride) i32 arenas, n_leaves (T,) i64, totals (T,) i64) with
+    T = B * n_layers, or None when unavailable or over capacity."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = packed_bits.shape[0]
+    n_layers = len(roots)
+    kmin = max(int(min_size).bit_length() - 1, 0)
+    g_min = max(max(int(r) for r in roots) >> kmin, 1)
+    cap_l = (4 * g_min * g_min) // 3 + 64
+    sp_stride = (cap_l + 3) // 4
+    t = b * n_layers
+    packed_bits = np.ascontiguousarray(packed_bits, np.uint8)
+    states = np.empty((t, sp_stride), np.uint8)
+    sizes = np.empty((t, cap_l), np.int32)
+    ys = np.empty((t, cap_l), np.int32)
+    xs = np.empty((t, cap_l), np.int32)
+    bits_len = np.empty(t, np.int64)
+    n_leaves = np.empty(t, np.int64)
+    totals = np.empty(t, np.int64)
+    roots_a = np.ascontiguousarray(roots, np.int32)
+    hs_a = np.ascontiguousarray(hs, np.int32)
+    ws_a = np.ascontiguousarray(ws, np.int32)
+    offs_a = np.ascontiguousarray(bit_offs, np.int64)
+    if threads is None:
+        threads = os.cpu_count() or 1
+    failed = lib.aej_build_plans_batch(
+        packed_bits.ctypes.data, packed_bits.strides[0], b, n_layers,
+        roots_a.ctypes.data, hs_a.ctypes.data, ws_a.ctypes.data,
+        offs_a.ctypes.data, k_hi - k_lo + 1, k_lo, max_size, min_size,
+        states.ctypes.data, sp_stride, bits_len.ctypes.data,
+        sizes.ctypes.data, ys.ctypes.data, xs.ctypes.data, cap_l,
+        n_leaves.ctypes.data, totals.ctypes.data, threads)
+    if failed:
+        return None
+    return states, bits_len, sizes, ys, xs, n_leaves, totals
 
 
 def build_plan(levels_concat, level_offsets, k_lo: int, k_hi: int,

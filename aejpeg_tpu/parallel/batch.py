@@ -150,6 +150,41 @@ def sharded_dense_device_fn(cfg: CodecConfig, shape: Tuple[int, int],
     return jax.jit(fn)
 
 
+def sharded_dense_decode_fn(cfg: CodecConfig, shape: Tuple[int, int],
+                            b: int, mesh, data_axes=None):
+    """The batched decoder's device side (codec/batch_decode.py _stage_d_fn)
+    sharded over the mesh's data axes — the decode mirror of
+    `sharded_dense_device_fn`.
+
+    The dense tables are plane-major (plane = bi * n_l + j, bi-major), so
+    sharding dim 0 of every table across devices hands each device exactly
+    its b/n_dev images' planes; concatenating the per-device (B_loc, H, W, 3)
+    outputs along dim 0 reproduces the single-device result (asserted
+    numerically in tests/test_sharding.py).
+
+    Returns fn(tables) -> (B, H, W, 3) float32 sRGB, tables[gi][si] sharded
+    on dim 0.  Reference decode loop: /root/reference/src/jpeg/jpeg.py:274-297.
+    """
+    from ..codec import batch_decode as bd
+
+    if data_axes is None:
+        data_axes = tuple(mesh.shape.keys())
+    n_dev = 1
+    for a in data_axes:
+        n_dev *= mesh.shape[a]
+    if b % n_dev:
+        raise ValueError(f"batch {b} not divisible by {n_dev} devices")
+    b_loc = b // n_dev
+
+    jit_local, spec = bd._stage_d_fn(cfg, shape, b_loc)
+
+    axes = P(data_axes)
+    in_spec = tuple(tuple(axes for _ in g.sizes) for g in spec.groups)
+    fn = shard_map(jit_local, mesh=mesh, in_specs=(in_spec,),
+                   out_specs=axes, check_vma=False)
+    return jax.jit(fn), spec
+
+
 def sharded_encode_step(mesh, space: str = "YCoCg", block: int = 8):
     """Build the jitted multi-chip batch encode step for `mesh`.
 

@@ -95,3 +95,135 @@ def test_sparse_huffman_depth_limit():
     data = b"".join(parts)
     comp = ne.deflate_parallel(data, level=-1, threads=1)
     assert zlib.decompress(comp) == data
+
+
+# ---------------------------------------------- layer decode (custom inflater)
+
+def _random_layer(rng, h, w, mn=4, mx=32):
+    """Random quadtree plan + coeffs + the container streams for one layer."""
+    from aejpeg_tpu.codec import quadtree as qt
+    edge = (rng.random((h, w)) < 0.02).astype(np.float32)
+    plan = qt.build_plan(edge, mx, mn)
+    total = int((plan.leaf_sizes.astype(np.int64) ** 2).sum())
+    coeffs = (rng.standard_normal(total) * 3).astype(np.int16)
+    coeffs[rng.random(total) < 0.8] = 0
+    states_bytes, bits_len = qt.pack_states(plan.states)
+    return plan, coeffs, states_bytes, bits_len
+
+
+def _expected_tables(plan, coeffs, pw, ph):
+    sizes64 = plan.leaf_sizes.astype(np.int64)
+    offsets = np.zeros(len(sizes64) + 1, np.int64)
+    np.cumsum(sizes64 * sizes64, out=offsets[1:])
+    tabs = {}
+    for s in np.unique(sizes64):
+        s = int(s)
+        tabs[s.bit_length() - 1] = np.zeros(((ph // s) * (pw // s), s * s),
+                                            np.int16)
+    for i, s in enumerate(sizes64):
+        s = int(s)
+        k = s.bit_length() - 1
+        row = (plan.leaf_y[i] // s) * (pw // s) + plan.leaf_x[i] // s
+        tabs[k][row] = coeffs[offsets[i]:offsets[i + 1]]
+    return tabs
+
+
+@pytest.mark.parametrize("level", [-1, 9])
+def test_decode_layer_matches_oracle(level):
+    """The C++ layer decoder (custom sparse inflater for level -1 streams,
+    zlib fallback for reference streams) must scatter exactly the
+    coefficients the encoder serialized."""
+    import ctypes
+    rng = np.random.default_rng(11)
+    for h, w in [(40, 56), (64, 64), (33, 47)]:
+        plan, coeffs, states_bytes, bits_len = _random_layer(rng, h, w)
+        pw = -(-w // 32) * 32
+        ph = -(-h // 32) * 32
+        comp = ne.deflate_parallel(coeffs.astype("<i4").tobytes(),
+                                   level=level, threads=2)
+        want = _expected_tables(plan, coeffs, pw, ph)
+        got = {}
+        ptrs = (ctypes.c_void_p * 8)()
+        for k, t in want.items():
+            got[k] = np.zeros_like(t)
+            ptrs[k] = got[k].ctypes.data
+        n = ne.decode_layer(states_bytes, bits_len, plan.root_size, comp,
+                            pw, ph, ptrs)
+        assert n == len(plan.leaf_sizes)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_decode_layer_rejects_malformed():
+    """Adversarial containers must fail cleanly (return -1), not read or
+    write out of bounds (round-2 advisor finding)."""
+    import ctypes
+    rng = np.random.default_rng(13)
+    plan, coeffs, states_bytes, bits_len = _random_layer(rng, 40, 56)
+    pw = ph = 64
+    comp = ne.deflate_parallel(coeffs.astype("<i4").tobytes(), level=-1)
+    ptrs = (ctypes.c_void_p * 8)()
+    tabs = {}
+    for s in (4, 8, 16, 32):
+        k = s.bit_length() - 1
+        tabs[k] = np.zeros(((ph // s) * (pw // s), s * s), np.int16)
+        ptrs[k] = tabs[k].ctypes.data
+    # 1. root_size not a power of two
+    assert ne.decode_layer(states_bytes, bits_len, 96, comp, pw, ph,
+                           ptrs) is None
+    # 2. huge root -> leaf sizes with no table (k > 7) and origins far
+    #    outside the padded plane
+    assert ne.decode_layer(states_bytes, bits_len, 1024, comp, pw, ph,
+                           ptrs) is None
+    # 3. a single-leaf tree whose size exceeds every table
+    one_leaf = bytes([0])  # state 00 -> leaf at root
+    assert ne.decode_layer(one_leaf, 2, 512, comp, pw, ph, ptrs) is None
+    # 4. truncated coefficient stream
+    assert ne.decode_layer(states_bytes, bits_len, plan.root_size,
+                           comp[:len(comp) // 2], pw, ph, ptrs) is None
+    # 5. garbage bytes
+    assert ne.decode_layer(states_bytes, bits_len, plan.root_size,
+                           b"\x00\x01\x02\x03garbage", pw, ph, ptrs) is None
+
+
+def test_build_plans_batch_matches_per_layer():
+    """The batched C++ planner must reproduce qt.build_plan exactly:
+    packed state streams and preorder leaf lists."""
+    from aejpeg_tpu.codec import quadtree as qt
+    rng = np.random.default_rng(17)
+    h, w = 40, 56
+    mn, mx = 4, 32
+    k_lo, k_hi = 3, 5
+    b = 3
+    root = qt.root_size_for(h, w)
+    # bit-packed pooled levels, one row per image: k = k_lo..k_hi
+    rows, planned = [], []
+    for bi in range(b):
+        edge = (rng.random((h, w)) < 0.03).astype(np.float32)
+        pyr = qt.edge_pyramid(edge, root)
+        planned.append(qt.build_plan(edge, mx, mn))
+        bits = np.concatenate([pyr[k].ravel() for k in range(k_lo, k_hi + 1)])
+        rows.append(np.packbits(bits.astype(np.uint8)))
+    packed = np.stack(rows)
+    offs = []
+    off = 0
+    for k in range(k_lo, k_hi + 1):
+        offs.append(off)
+        g = root >> k
+        off += g * g
+    res = ne.build_plans_batch(packed, [root], [h], [w],
+                               np.asarray([offs], np.int64), k_lo, k_hi,
+                               mx, mn)
+    assert res is not None
+    states_p, bits_len, sizes_a, ys_a, xs_a, n_leaves, totals = res
+    for bi in range(b):
+        want = planned[bi]
+        sb, bl = qt.pack_states(want.states)
+        nl = int(n_leaves[bi])
+        assert bl == int(bits_len[bi])
+        assert sb == states_p[bi, :(bl + 7) // 8].tobytes()
+        np.testing.assert_array_equal(sizes_a[bi, :nl], want.leaf_sizes)
+        np.testing.assert_array_equal(ys_a[bi, :nl], want.leaf_y)
+        np.testing.assert_array_equal(xs_a[bi, :nl], want.leaf_x)
+        assert int(totals[bi]) == int(
+            (want.leaf_sizes.astype(np.int64) ** 2).sum())
