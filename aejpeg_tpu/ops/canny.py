@@ -351,38 +351,6 @@ def _percentile_from_hist(csum: jnp.ndarray, n: int, q: float) -> jnp.ndarray:
     return v0.astype(jnp.float32) * (1 - frac) + v1.astype(jnp.float32) * frac
 
 
-def _value_at_rank(img_u8: jnp.ndarray, target: int) -> jnp.ndarray:
-    """min{u in [0,255] : #(img <= u) >= target} — the sorted value at index
-    target-1 — by 8-step binary search of compare-count reductions (~8
-    passes over the uint8 data instead of a 256-compare/pixel histogram)."""
-    img = img_u8.astype(jnp.int32)
-
-    def step(_, state):
-        lo, hi = state  # invariant: answer in (lo, hi]
-        mid = (lo + hi) >> 1
-        c = (img <= mid).sum(dtype=jnp.int32)
-        hit = c >= target
-        return jnp.where(hit, lo, mid), jnp.where(hit, mid, hi)
-
-    _, hi = jax.lax.fori_loop(
-        0, 8, step, (jnp.int32(-1), jnp.int32(255)))
-    return hi
-
-
-def percentile_u8(img_u8: jnp.ndarray, q: float) -> jnp.ndarray:
-    """np.percentile(img, q) with linear interpolation (exact for uint8
-    data; `q` is static so rank/fraction stay in host float64)."""
-    n = img_u8.size
-    pos = q / 100.0 * (n - 1)
-    k = int(math.floor(pos))
-    frac = pos - k
-    v0 = _value_at_rank(img_u8, k + 1).astype(jnp.float32)
-    if frac == 0.0 or k + 1 >= n:
-        return v0
-    v1 = _value_at_rank(img_u8, k + 2).astype(jnp.float32)
-    return v0 * np.float32(1 - frac) + v1 * np.float32(frac)
-
-
 def percentiles_u8(img_u8: jnp.ndarray, qs) -> tuple:
     """np.percentile for several q's from ONE 256-bin histogram pass
     (the binary-search form costs 8 full-image reductions per rank — one

@@ -185,41 +185,7 @@ def sharded_dense_decode_fn(cfg: CodecConfig, shape: Tuple[int, int],
     return jax.jit(fn), spec
 
 
-def sharded_encode_step(mesh, space: str = "YCoCg", block: int = 8):
-    """Build the jitted multi-chip batch encode step for `mesh`.
-
-    Input:  (B, H, W, 3) float32, B divisible by mesh 'data' size.
-    Output: per-layer coefficient planes sharded (data, block) +
-            psum-reduced nonzero-coefficient counts (the rate statistic the
-            scheduler uses for continuous batching).
-    """
-    n_block = mesh.shape["block"]
-
-    def step(batch):
-        def per_image(img):
-            enc = device_encode_uniform(img, space, block, with_edges=True)
-            planes = []
-            for c in enc["coeffs"]:
-                n, k = c.shape
-                pad = (-n) % n_block
-                c = jnp.pad(c, ((0, pad), (0, 0)))
-                planes.append(c.reshape(n_block, (n + pad) // n_block, k))
-            return planes
-
-        local = jax.vmap(per_image)(batch)         # [(Bl, nb, chunk, k)] x 3
-        # keep only this device's block shard
-        bidx = jax.lax.axis_index("block")
-        shards = [jax.lax.dynamic_index_in_dim(p, bidx, axis=1, keepdims=True)
-                  for p in local]
-        nonzero = sum(jnp.sum(s != 0) for s in shards)
-        nonzero = jax.lax.psum(nonzero, axis_name="block")
-        nonzero = jax.lax.psum(nonzero, axis_name="data")
-        return tuple(shards), nonzero
-
-    in_specs = P("data")
-    out_specs = (tuple(P("data", "block") for _ in range(3)), P())
-    # check_vma=False: the Canny hysteresis while_loop carries a replicated
-    # convergence flag whose varying-axes type the checker can't unify.
-    fn = shard_map(step, mesh=mesh, in_specs=(in_specs,),
-                   out_specs=out_specs, check_vma=False)
-    return jax.jit(fn)
+# (round 2's `sharded_encode_step` — vmap-everything-then-keep-1/n — was
+# deleted in round 3: the production sharding is `sharded_dense_device_fn`
+# / `sharded_dense_decode_fn`, which shard real work instead of
+# replicating it.)

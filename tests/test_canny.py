@@ -70,12 +70,13 @@ def test_bilateral_matches_opencv(luma):
     assert diff.max() <= 1
 
 
-def test_percentile_matches_numpy(luma):
+def test_percentiles_match_numpy(luma):
     u8 = (luma * 255).astype(np.uint8)
-    for q in (10.0, 30.0, 50.0, 99.5):
+    qs = (10.0, 30.0, 50.0, 99.5)
+    got = jax.jit(cn.percentiles_u8, static_argnums=1)(u8, qs)
+    for q, g in zip(qs, got):
         want = np.percentile(u8, q)
-        got = float(jax.jit(cn.percentile_u8, static_argnums=1)(u8, q))
-        assert abs(got - want) < 1e-4, (q, got, want)
+        assert abs(float(g) - want) < 1e-4, (q, float(g), want)
 
 
 def test_sobel_matches_opencv(luma):

@@ -5,42 +5,10 @@ import numpy as np
 import pytest
 
 from aejpeg_tpu.parallel.mesh import make_mesh
-from aejpeg_tpu.parallel.batch import (device_encode_uniform,
-                                       sharded_encode_step)
-
-
-@pytest.fixture(scope="module")
-def batch():
-    return np.random.default_rng(0).random((8, 64, 64, 3)).astype(np.float32)
 
 
 def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
-
-
-def test_sharded_step_matches_single_device(batch):
-    mesh = make_mesh((4, 2))
-    step = sharded_encode_step(mesh, "YCoCg", block=8)
-    shards, nonzero = step(batch)
-    assert len(shards) == 3
-
-    # single-device truth
-    total = 0
-    singles = []
-    for img in batch:
-        enc = device_encode_uniform(jax.numpy.asarray(img), "YCoCg", 8)
-        singles.append([np.asarray(c) for c in enc["coeffs"]])
-        total += sum(int((np.asarray(c) != 0).sum()) for c in enc["coeffs"])
-    assert int(nonzero) == total
-
-    # sharded planes reassemble to the single-device coefficients
-    for li in range(3):
-        plane = np.asarray(shards[li])           # (B, n_block, chunk, k)
-        b, nb, chunk, k = plane.shape
-        flat = plane.reshape(b, nb * chunk, k)
-        for bi in range(b):
-            want = singles[bi][li]
-            np.testing.assert_array_equal(flat[bi, :want.shape[0]], want)
 
 
 def test_dense_encode_mesh_byte_identical():
