@@ -92,7 +92,6 @@ def cmd_preview(args):
 
 
 def cmd_sweep(args):
-    from .harness.sweep import MetricsSweep
     exts = {".png", ".tiff", ".bmp"}
     files = sorted(p for p in Path(args.imgdir).rglob("*")
                    if p.is_file() and p.suffix in exts)
@@ -100,12 +99,27 @@ def cmd_sweep(args):
         files = files[:args.limit]
     qv = tuple(args.quality_values)
     bv = tuple(args.block_values)
-    sweep = MetricsSweep(
-        files, args.output,
-        color_spaces=args.color_spaces,
-        quality_ranges=[(a, b) for a in qv for b in qv if a <= b],
-        block_size_ranges=[(a, b) for a in bv for b in bv if a <= b],
-        with_lpips=args.lpips, entropy_level=args.entropy_level)
+    quality_ranges = [(a, b) for a in qv for b in qv if a <= b]
+    block_ranges = [(a, b) for a in bv for b in bv if a <= b]
+    if args.per_image:
+        # legacy per-image path (one Codec per combo) — slow, kept for
+        # cross-checking the batched engine
+        from .harness.sweep import MetricsSweep
+        sweep = MetricsSweep(
+            files, args.output,
+            color_spaces=args.color_spaces,
+            quality_ranges=quality_ranges,
+            block_size_ranges=block_ranges,
+            with_lpips=args.lpips, entropy_level=args.entropy_level)
+    else:
+        from .harness.sweep_batched import BatchedMetricsSweep
+        sweep = BatchedMetricsSweep(
+            files, args.output,
+            color_spaces=args.color_spaces,
+            quality_ranges=quality_ranges,
+            block_size_ranges=block_ranges,
+            entropy_level=args.entropy_level,
+            with_lpips=args.lpips, lpips_weights=args.lpips_weights)
     sweep.run()
 
 
@@ -183,8 +197,12 @@ def main(argv=None):
     s.add_argument("--block-values", nargs="+", type=int,
                    default=[4, 8, 16, 32, 64, 128])
     s.add_argument("--lpips", action="store_true")
+    s.add_argument("--lpips-weights", default=None,
+                   help=".npz from metrics.lpips.convert_torch_checkpoint")
+    s.add_argument("--per-image", action="store_true",
+                   help="legacy per-image Codec path (slow; cross-check)")
     s.add_argument("--limit", type=int, default=0)
-    s.add_argument("--entropy-level", type=int, default=9)
+    s.add_argument("--entropy-level", type=int, default=-1)
     s.set_defaults(fn=cmd_sweep)
 
     w = sub.add_parser("visualize")

@@ -144,12 +144,46 @@ def _stage_b_rt_fn(layer_shapes: Tuple[Tuple[int, int], ...], b: int):
     return jax.jit(fn), spec
 
 
+@functools.lru_cache(maxsize=8)
+def _lpips_batch_fn(weights_path: str):
+    """Batched LPIPS(AlexNet) distance, jitted once per weights file.
+
+    fn(batch_u8, recon) -> (B,) distances; batch_u8 is the (B,H,W,3) uint8
+    original batch, recon the (B,H,W,3) float32 [0,1] reconstruction.
+    Same math as metrics.lpips.lpips_distance (reference semantics:
+    src/image/evaluation_metrics.py:91-109), vectorized over the batch."""
+    from ..metrics import lpips as L
+
+    params = L._load_weights(weights_path)
+
+    def fn(batch_u8, recon):
+        orig = be._u8_to_unit_float(batch_u8)
+
+        def to_nchw(img):  # (B,H,W,3) [0,1] -> (B,3,H,W) [-1,1]
+            return jnp.transpose(img * 2.0 - 1.0, (0, 3, 1, 2))
+
+        fa = L._alex_features(params, to_nchw(orig))
+        fb = L._alex_features(params, to_nchw(recon))
+        total = jnp.zeros((orig.shape[0],), jnp.float32)
+        for i, (x, y) in enumerate(zip(fa, fb)):
+            d = (L._unit_normalize(x) - L._unit_normalize(y)) ** 2
+            lin = jnp.asarray(params[f"lin{i}_w"])  # (1, C, 1, 1)
+            val = jnp.sum(d * lin, axis=1, keepdims=True)
+            total = total + jnp.mean(val, axis=(1, 2, 3))
+        return total
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=64)
 def _recon_metrics_fn(space: str, shape: Tuple[int, int],
-                      layer_shapes: Tuple[Tuple[int, int], ...], b: int):
+                      layer_shapes: Tuple[Tuple[int, int], ...], b: int,
+                      want_recon: bool = False):
     """Masked reconstruction + metrics, one compile per (space, shape).
 
-    jit_fn(batch_u8, outs, masks, q_t) -> (psnr, ssim, ms_ssim) each (B,):
+    jit_fn(batch_u8, outs, masks, q_t) -> (psnr, ssim, ms_ssim) each (B,)
+    (plus the (B,H,W,3) reconstruction itself when `want_recon`, so an
+    LPIPS pass can reuse it without a second reconstruction):
     `outs` is stage B's output pytree, `masks[(gi, s)]` is (p, gh*gw)
     float32 leaf-row selectors for THIS combo (zeros for sizes outside the
     combo's block band), `q_t[(gi, s)]` the (n_l, s, s) float32 dequant
@@ -236,7 +270,10 @@ def _recon_metrics_fn(space: str, shape: Tuple[int, int],
                 ms = ms * jnp.maximum(v, 0.0) ** wgt
             return p, s_val, ms
 
-        return jax.vmap(per_image)(orig, recon, batch_u8)
+        p_v, s_v, m_v = jax.vmap(per_image)(orig, recon, batch_u8)
+        if want_recon:
+            return p_v, s_v, m_v, recon
+        return p_v, s_v, m_v
 
     return jax.jit(fn), spec
 
@@ -438,7 +475,9 @@ class BatchedMetricsSweep:
                  quality_ranges: Optional[List[Tuple[int, int]]] = None,
                  block_size_ranges: Optional[List[Tuple[int, int]]] = None,
                  entropy_level: int = -1,
-                 progress_every: int = 10):
+                 progress_every: int = 10,
+                 with_lpips: bool = False,
+                 lpips_weights: Optional[str] = None):
         self.img_files = [Path(p) for p in img_files]
         self.result_file = Path(result_file)
         self.color_spaces = list(color_spaces)
@@ -448,6 +487,23 @@ class BatchedMetricsSweep:
         self.entropy_level = entropy_level
         self.progress_every = progress_every
         self.errors: List[str] = []
+        # LPIPS is opt-in and weight-gated: the AlexNet+lin weights cannot
+        # be fetched in this environment (zero egress); see metrics/lpips.py
+        # for the export recipe.  Without weights the column stays '' —
+        # loudly, so a consumer of the CSV knows why.
+        self.lpips_path: Optional[str] = None
+        if with_lpips:
+            from ..metrics.lpips import default_weights_path
+            self.lpips_path = lpips_weights or default_weights_path()
+            if self.lpips_path is None:
+                print("[sweep] LPIPS requested but no weights found "
+                      "(AEJPEG_LPIPS_WEIGHTS / metrics/lpips_alex.npz); "
+                      "the lpips column will be EMPTY.  Export weights via "
+                      "aejpeg_tpu.metrics.lpips.convert_torch_checkpoint "
+                      "on a machine with torchvision+lpips.", flush=True)
+            else:
+                print(f"[sweep] LPIPS enabled (weights: {self.lpips_path})",
+                      flush=True)
 
     COLUMNS = ["image_name", "color_space", "min_quality", "max_quality",
                "min_block_size", "max_block_size", "psnr", "ssim",
@@ -529,7 +585,8 @@ class BatchedMetricsSweep:
                 batch_dev, space, tuple(layer_shapes), WIDE_BAND, spec)
             levels_bits = np.asarray(packed_bits)
             jit_m, _ = _recon_metrics_fn(space, shape,
-                                         tuple(layer_shapes), b)
+                                         tuple(layer_shapes), b,
+                                         want_recon=bool(self.lpips_path))
 
             for sp, qr, br in combos:
                 if sp != space:
@@ -560,7 +617,14 @@ class BatchedMetricsSweep:
         plans = _plans_for_combo(cfg, layer_shapes, levels_bits, b)
         masks = _leaf_masks(plans, spec, b)
         masks_j = {k: jnp.asarray(v) for k, v in masks.items()}
-        psnr_v, ssim_v, ms_v = jit_m(batch_dev, outs, masks_j, qs)
+        lpips_v = None
+        if self.lpips_path:
+            psnr_v, ssim_v, ms_v, recon = jit_m(batch_dev, outs, masks_j,
+                                                qs)
+            lpips_v = np.asarray(
+                _lpips_batch_fn(self.lpips_path)(batch_dev, recon))
+        else:
+            psnr_v, ssim_v, ms_v = jit_m(batch_dev, outs, masks_j, qs)
         psnr_v = np.asarray(psnr_v)
         ssim_v = np.asarray(ssim_v)
         ms_v = np.asarray(ms_v)
@@ -583,9 +647,10 @@ class BatchedMetricsSweep:
 
         rows = []
         for bi, p in enumerate(paths):
+            lp = f"{float(lpips_v[bi]):.4f}" if lpips_v is not None else ""
             rows.append([
                 str(p), space, str(qr[0]), str(qr[1]), str(br[0]),
                 str(br[1]), f"{float(psnr_v[bi]):.4f}",
-                f"{float(ssim_v[bi]):.4f}", f"{float(ms_v[bi]):.4f}", "",
+                f"{float(ssim_v[bi]):.4f}", f"{float(ms_v[bi]):.4f}", lp,
                 f"{raw_bytes / len(blobs[bi]):.4f}"])
         return rows

@@ -94,3 +94,44 @@ def test_batched_sweep_resume(image_files, tmp_path):
     with open(out_csv) as f:
         again = f.read()
     assert first == again  # resume skipped everything, no duplicates
+
+def test_batched_sweep_lpips_with_weights(image_files, tmp_path):
+    """With a weights .npz present, the lpips column is filled and matches
+    the per-image metrics.lpips.lpips_distance on the decoded output."""
+    from aejpeg_tpu.metrics import lpips as L
+    from aejpeg_tpu.codec.batch_encode import encode_batch
+    from aejpeg_tpu.codec.batch_decode import decode_batch
+
+    rng = np.random.default_rng(7)
+    arrays = {}
+    chans_in = 3
+    for i, (out_ch, k, _, _) in enumerate(L._ALEX_CONVS):
+        arrays[f"conv{i}_w"] = rng.normal(
+            0, 0.05, (out_ch, chans_in, k, k)).astype(np.float32)
+        arrays[f"conv{i}_b"] = rng.normal(0, 0.01, out_ch).astype(np.float32)
+        arrays[f"lin{i}_w"] = np.abs(rng.normal(
+            0, 0.1, (1, out_ch, 1, 1))).astype(np.float32)
+        chans_in = out_ch
+    wpath = tmp_path / "lpips_rand.npz"
+    np.savez(wpath, **arrays)
+
+    out_csv = tmp_path / "sweep.csv"
+    sweep = BatchedMetricsSweep(image_files, out_csv,
+                                color_spaces=("YCoCg",),
+                                quality_ranges=[(50, 50)],
+                                block_size_ranges=[(8, 8)],
+                                entropy_level=-1,
+                                with_lpips=True, lpips_weights=str(wpath))
+    sweep.run()
+    assert not sweep.errors, sweep.errors
+
+    with open(out_csv) as f:
+        rows = {r["image_name"]: r for r in csv.DictReader(f)}
+    cfg = CodecConfig("YCoCg", (50, 50), (8, 8), entropy_level=-1)
+    imgs = [ImageData.load(str(p)) for p in image_files]
+    decs = decode_batch(encode_batch(imgs, cfg))
+    for p, img, dec in zip(image_files, imgs, decs):
+        want = float(L.lpips_distance(img.data, dec.data,
+                                      weights_path=str(wpath)))
+        got = float(rows[str(p)]["lpips"])
+        assert abs(got - want) < 5e-4, (got, want)
