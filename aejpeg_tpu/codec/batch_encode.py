@@ -321,18 +321,33 @@ def _build_plans(cfg: CodecConfig, layer_shapes, levels_bits: np.ndarray,
         [s[1] for s in layer_shapes], bit_offs, k_lo, k_hi, mx, mn)
     if res is not None:
         states_p, bits_len, sizes_a, ys_a, xs_a, n_leaves, totals = res
+        # the arenas are volatile per-thread scratch: compact the used
+        # prefixes into ONE exact-size allocation per array (the plans can
+        # outlive the next native call — stream lookahead, sweep reuse)
+        n_tasks = 3 * b
+        offs = np.zeros(n_tasks + 1, np.int64)
+        np.cumsum(n_leaves, out=offs[1:])
+        tot = int(offs[-1])
+        all_s = np.empty(tot, np.int32)
+        all_y = np.empty(tot, np.int32)
+        all_x = np.empty(tot, np.int32)
+        for t in range(n_tasks):
+            o, nl = int(offs[t]), int(n_leaves[t])
+            all_s[o:o + nl] = sizes_a[t, :nl]
+            all_y[o:o + nl] = ys_a[t, :nl]
+            all_x[o:o + nl] = xs_a[t, :nl]
         plans = []
         for bi in range(b):
             row = []
             for li in range(3):
                 t = bi * 3 + li
-                nl = int(n_leaves[t])
+                o, nl = int(offs[t]), int(n_leaves[t])
                 bl = int(bits_len[t])
                 row.append(qt.QuadPlan(
                     root_size=roots[li], height=layer_shapes[li][0],
                     width=layer_shapes[li][1], states=None,
-                    leaf_sizes=sizes_a[t, :nl], leaf_y=ys_a[t, :nl],
-                    leaf_x=xs_a[t, :nl],
+                    leaf_sizes=all_s[o:o + nl], leaf_y=all_y[o:o + nl],
+                    leaf_x=all_x[o:o + nl],
                     states_packed=states_p[t, :(bl + 7) // 8].tobytes(),
                     bits_len=bl))
             plans.append(row)
@@ -551,7 +566,10 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
         bounds = lens + lens // 500 + 32 * chunks + 64
         arena_offs = np.zeros(n_tasks + 1, np.int64)
         np.cumsum(bounds, out=arena_offs[1:])
-        arena = np.empty(int(arena_offs[-1]), np.uint8)
+        # warm per-thread scratch: the payloads are copied out via
+        # .tobytes() below, so reuse across batches is safe
+        arena = native_entropy.scratch_arena("assemble",
+                                             int(arena_offs[-1]))
         out_sizes = native_entropy.assemble_batch_native(
             lp_s, lp_y, lp_x, n_leaves, hs, ws, pws, tbl, slw,
             cfg.entropy_level, arena, arena_offs)

@@ -22,6 +22,35 @@ def _out_buffer(size: int):
     buf = np.empty(size, np.uint8)
     return buf, buf.ctypes.data_as(ctypes.c_void_p)
 
+
+_SCRATCH = threading.local()
+
+
+def scratch_arena(key: str, nbytes: int) -> np.ndarray:
+    """Grow-only per-thread scratch buffer (uint8, uninitialized).
+
+    Fresh `np.empty` of a few hundred MB costs more in page faults than the
+    C++ work that fills it (measured: ~60% of round 3's 'plans'/'assemble'
+    stage time on a 2-core host); reusing a warm buffer makes that cost
+    one-time.  Contents are VOLATILE: valid only until the same thread asks
+    for the same key again — callers must copy out anything they keep."""
+    store = getattr(_SCRATCH, "bufs", None)
+    if store is None:
+        store = _SCRATCH.bufs = {}
+    buf = store.get(key)
+    if buf is None or buf.nbytes < nbytes:
+        buf = np.empty(max(nbytes, 1 << 16), np.uint8)
+        store[key] = buf
+    return buf
+
+
+def scratch_view(key: str, shape, dtype) -> np.ndarray:
+    """Shaped view into scratch_arena (same volatility rules)."""
+    dt = np.dtype(dtype)
+    n = int(np.prod(shape, dtype=np.int64))
+    buf = scratch_arena(key, n * dt.itemsize)
+    return buf[:n * dt.itemsize].view(dt).reshape(shape)
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libaejentropy.so")
 _LOCK = threading.Lock()
@@ -281,7 +310,12 @@ def build_plans_batch(packed_bits: np.ndarray, roots, hs, ws, bit_offs,
     pooled levels (see entropy.cpp aej_build_plans_batch).  Returns
     (states_packed (T, sp_stride) u8, bits_len (T,) i64, sizes/ys/xs
     (T, leaf_stride) i32 arenas, n_leaves (T,) i64, totals (T,) i64) with
-    T = B * n_layers, or None when unavailable or over capacity."""
+    T = B * n_layers, or None when unavailable or over capacity.
+
+    The five large outputs are views into per-thread scratch arenas —
+    VOLATILE until this thread's next call; callers must copy what they
+    keep (batch_encode._build_plans compacts them into exact-size
+    per-call arrays)."""
     lib = _load()
     if lib is None:
         return None
@@ -293,10 +327,10 @@ def build_plans_batch(packed_bits: np.ndarray, roots, hs, ws, bit_offs,
     sp_stride = (cap_l + 3) // 4
     t = b * n_layers
     packed_bits = np.ascontiguousarray(packed_bits, np.uint8)
-    states = np.empty((t, sp_stride), np.uint8)
-    sizes = np.empty((t, cap_l), np.int32)
-    ys = np.empty((t, cap_l), np.int32)
-    xs = np.empty((t, cap_l), np.int32)
+    states = scratch_view("plan_states", (t, sp_stride), np.uint8)
+    sizes = scratch_view("plan_sizes", (t, cap_l), np.int32)
+    ys = scratch_view("plan_ys", (t, cap_l), np.int32)
+    xs = scratch_view("plan_xs", (t, cap_l), np.int32)
     bits_len = np.empty(t, np.int64)
     n_leaves = np.empty(t, np.int64)
     totals = np.empty(t, np.int64)
