@@ -19,12 +19,17 @@ Launch recipe (one process per host):
 or via SLURM/GKE auto-detection: `mh.initialize()` defers entirely to
 jax.distributed's environment discovery.
 
-Scaling: the only serial costs are per-host jit compilation (amortized)
-and stream orchestration, so efficiency at 2 hosts is ~100% minus
-straggler variance — comfortably above the >=85% BASELINE target.  Real
-2-host numbers remain blocked on hardware (this dev harness exposes one
-chip); tests/test_multihost.py proves the 2-process path end-to-end on
-CPU with byte-identical output.
+Scaling, measured (tools/measure_scaling.py -> results/scaling.md): the
+2-process jax.distributed path on this single 2-core dev host reaches
+71.3% efficiency WITH both processes contending for the same two cores —
+a floor for true 2-host efficiency, where each process has its own
+host.  The only serial costs are per-host jit compilation (amortized)
+and stream orchestration; no collectives cross DCN.  Real 2-host numbers
+remain blocked on hardware (this dev harness exposes one chip);
+tests/test_multihost.py proves the 2-process path end-to-end on CPU with
+byte-identical output, and results/scaling.md also shows the virtual
+(4,2)-mesh shard_map program is cheaper than the single-device program
+on identical bytes.
 """
 
 from typing import List, Optional, Sequence, Tuple
