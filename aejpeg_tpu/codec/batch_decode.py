@@ -48,8 +48,12 @@ from .dense import batch_spec
 def _stage_d_fn(cfg: CodecConfig, shape: Tuple[int, int], b: int):
     """Compiled dense decode stage for (config, image shape, batch size).
 
-    Returns (jit_fn, spec).  jit_fn(tables) with tables[gi][si] =
-    (B * n_l, gh * gw, s * s) zigzag int16 -> (B, H, W, 3) float32 sRGB."""
+    Returns (jit_fn, spec).  jit_fn(tables, masks) with tables[gi][si] =
+    (B * n_l, gh * gw, s * s) zigzag int16 and masks[gi][si] =
+    (B * n_l, gh * gw) uint8 leaf-row gates -> (B, H, W, 3) float32 sRGB.
+    Non-leaf table rows may be arbitrary garbage (the host fills tables
+    from uninitialized scratch); the mask zeroes them before dequantize,
+    so only leaf rows contribute to the per-size reconstruction sum."""
     h, w = shape
     layer_shapes = cfg.layer_shapes(shape)
     mn, mx = cfg.block_size_range
@@ -64,7 +68,7 @@ def _stage_d_fn(cfg: CodecConfig, shape: Tuple[int, int], b: int):
             inv = zigzag.inverse_zigzag_indices(s)
             consts[(gi, s)] = (q_g, inv)
 
-    def fn(tables):
+    def fn(tables, masks):
         canvases = []
         for gi, g in enumerate(spec.groups):
             ph, pw, n_l = g.ph, g.pw, g.n_l
@@ -73,6 +77,8 @@ def _stage_d_fn(cfg: CodecConfig, shape: Tuple[int, int], b: int):
                 q_g, inv = consts[(gi, s)]
                 gh, gw = ph // s, pw // s
                 zzrows = tables[gi][si]                  # (p, gh*gw, s*s)
+                zzrows = jnp.where(masks[gi][si][:, :, None] != 0,
+                                   zzrows, 0)
                 raster = zzrows[:, :, jnp.asarray(inv)]
                 lv = raster.reshape(b, n_l, gh, gw, s, s)
                 coeffs = (lv * jnp.asarray(q_g).reshape(
@@ -96,10 +102,13 @@ def _stage_d_fn(cfg: CodecConfig, shape: Tuple[int, int], b: int):
 
 
 def _decode_layer_numpy(payload, table_views: Dict[int, np.ndarray],
-                        pw: int) -> None:
+                        pw: int,
+                        mask_views: Optional[Dict[int, np.ndarray]] = None
+                        ) -> None:
     """Pure-numpy mirror of entropy.cpp aej_decode_layer (fallback when the
     native library is unavailable; also its test oracle).  table_views[k]
-    is this plane's (gh*gw, s*s) int16 view."""
+    is this plane's (gh*gw, s*s) int16 view; mask_views[k] (if given) its
+    (gh*gw,) uint8 leaf-gate view."""
     states = qt.unpack_states(payload.states_bytes, payload.bits_len)
     sizes, ys, xs = qt.replay_positions(states, payload.root_size, 0, 0)
     coeffs = payload.coeffs
@@ -115,6 +124,8 @@ def _decode_layer_numpy(payload, table_views: Dict[int, np.ndarray],
         rows = (ys[idx].astype(np.int64) // s) * (pw // s) + xs[idx] // s
         table_views[k][rows] = coeffs[flat.ravel()].reshape(
             len(idx), s * s).astype(np.int16)
+        if mask_views is not None:
+            mask_views[k][rows] = 1
 
 
 @functools.lru_cache(maxsize=16)
@@ -173,14 +184,26 @@ def decode_batch(blobs: List[bytes],
             cfg, (h, w), b, mesh,
             None if data_axes is None else tuple(data_axes))
 
-    # pre-zeroed dense tables: tables[gi][si] = (B*n_l, gh*gw, s*s) int16
+    # dense tables from per-thread grow-only scratch (UNINITIALIZED — the
+    # np.zeros this replaced cost more in page faults than the C++ decode;
+    # non-leaf garbage rows are gated out on device by the masks).  Volatile
+    # until this thread's next decode_batch, which is safe: _sync(out)
+    # below guarantees the device consumed the upload before we return.
+    # masks[gi][si] = (B*n_l, gh*gw) uint8, zeroed (small: 1 byte/block).
     tables: List[List[np.ndarray]] = []
-    for g in spec.groups:
-        per = []
+    masks: List[List[np.ndarray]] = []
+    for gi, g in enumerate(spec.groups):
+        per, mper = [], []
         for s in g.sizes:
             gh, gw = g.ph // s, g.pw // s
-            per.append(np.zeros((b * g.n_l, gh * gw, s * s), np.int16))
+            per.append(native_entropy.scratch_view(
+                f"dec_tbl_{gi}_{s}", (b * g.n_l, gh * gw, s * s), np.int16))
+            m = native_entropy.scratch_view(
+                f"dec_msk_{gi}_{s}", (b * g.n_l, gh * gw), np.uint8)
+            m[:] = 0
+            mper.append(m)
         tables.append(per)
+        masks.append(mper)
 
     # host: one batched C++ call — per (container, layer): replay the state
     # stream, decode the coefficient stream (custom sparse inflater, zlib
@@ -199,6 +222,7 @@ def decode_batch(blobs: List[bytes],
         pws = np.empty(n_tasks, np.int32)
         phs = np.empty(n_tasks, np.int32)
         tbl = np.zeros((n_tasks, 8), np.uint64)
+        msk = np.zeros((n_tasks, 8), np.uint64)
         keep = []   # keep the ctypes views of the payload bytes alive
         for bi in range(b):
             for li in range(3):
@@ -222,9 +246,11 @@ def decode_batch(blobs: List[bytes],
                     arr = tables[gi][si]
                     tbl[t, k] = (arr.ctypes.data
                                  + plane * arr.shape[1] * arr.shape[2] * 2)
+                    marr = masks[gi][si]
+                    msk[t, k] = marr.ctypes.data + plane * marr.shape[1]
         done = native_entropy.decode_batch_native(
             st_ptrs, bits_lens, root_sizes, comp_ptrs, comp_lens, pws, phs,
-            tbl)
+            tbl, msk)
         if done is not None and (done < 0).any():
             bad = int(np.nonzero(done < 0)[0][0])
             raise ValueError(
@@ -242,19 +268,22 @@ def decode_batch(blobs: List[bytes],
                 raw = native_inflate(payload.compressed,
                                      max_out=4 * g.ph * g.pw * 2)
                 payload.coeffs = np.frombuffer(raw, dtype="<i4")
-                views = {}
+                views, mviews = {}, {}
                 for si, s in enumerate(g.sizes):
                     k = s.bit_length() - 1
                     views[k] = tables[gi][si][plane]
-                _decode_layer_numpy(payload, views, g.pw)
+                    mviews[k] = masks[gi][si][plane]
+                _decode_layer_numpy(payload, views, g.pw, mviews)
 
         with ThreadPoolExecutor() as pool:
             list(pool.map(parse, range(b)))
     mark("parse")
 
     host_tables = tuple(tuple(per) for per in tables)
+    host_masks = tuple(tuple(per) for per in masks)
     if mesh is None:
         tables_dev = jax.device_put(host_tables)
+        masks_dev = jax.device_put(host_masks)
     else:
         from jax.sharding import NamedSharding, PartitionSpec
         axes = (tuple(mesh.shape.keys()) if data_axes is None
@@ -262,11 +291,13 @@ def decode_batch(blobs: List[bytes],
         sharding = NamedSharding(mesh, PartitionSpec(axes))
         tables_dev = jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), host_tables)
+        masks_dev = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), host_masks)
     if timings is not None:
         _sync(tables_dev)
     mark("push")
 
-    out = jit_d(tables_dev)
+    out = jit_d(tables_dev, masks_dev)
     _sync(out)   # execution barrier before any bulk pull (see batch_encode)
     mark("device")
     if not materialize:

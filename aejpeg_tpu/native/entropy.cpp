@@ -348,6 +348,34 @@ void emit_stored(const unsigned char* src, size_t n, bool last,
   } while (off < n);
 }
 
+// Advance past the zero run starting at v[i]: returns the first j >= i
+// with v[j] != 0 (or n).  Quantized coefficient planes are mostly zero
+// (85-98% measured on LIVE), so this is the hottest loop of the sparse
+// encoder; target_clones gives it 512/256-bit compares with runtime ifunc
+// dispatch while the .so stays baseline-buildable.
+__attribute__((target_clones("arch=x86-64-v4", "arch=x86-64-v3", "default")))
+size_t zero_span16(const int16_t* v, size_t i, size_t n) {
+  while (i + 32 <= n) {
+    // one 64-byte block per iteration; vectorizes to 1-2 compares
+    uint64_t acc = 0;
+    for (int k = 0; k < 8; ++k) {
+      uint64_t w;
+      std::memcpy(&w, v + i + 4 * k, 8);
+      acc |= w;
+    }
+    if (acc) break;
+    i += 32;
+  }
+  while (i + 4 <= n) {
+    uint64_t w;
+    std::memcpy(&w, v + i, 8);
+    if (w != 0) break;
+    i += 4;
+  }
+  while (i < n && v[i] == 0) ++i;
+  return i;
+}
+
 // Tokenize int16 coefficients AS the byte stream of their int32-LE
 // widening, without materializing it: each coefficient v contributes bytes
 // [lo, hi, s, s] (s = sign byte).  Zero coefficients extend a pending
@@ -377,13 +405,16 @@ inline void scan_coeffs(const int16_t* v, size_t n, E&& e,
   while (i < n) {
     int16_t x = v[i];
     if (x == 0) {
+      // inline check for short runs; the out-of-line SIMD clone only pays
+      // off once a run survives 16 coefficients
       size_t j = i;
-      while (j + 4 <= n) {
+      while (j + 4 <= n && j < i + 16) {
         uint64_t w;
         std::memcpy(&w, v + j, 8);
         if (w != 0) break;
         j += 4;
       }
+      if (j == i + 16) j = zero_span16(v, j, n);
       while (j < n && v[j] == 0) ++j;
       if (ad) ad->zero_run((j - i) * 4);
       zrun += (j - i) * 4;
@@ -450,6 +481,27 @@ class PtrBitWriter {
     nbits_ += n;
     if (nbits_ >= 32) {
       std::memcpy(out_, &hold_, 4);  // little-endian hosts only
+      out_ += 4;
+      hold_ >>= 32;
+      nbits_ -= 32;
+    }
+  }
+  // up to 40 bits in one call.  put() keeps nbits_ < 32; if the incoming
+  // bits would not fit the 64-bit hold, flush whole BYTES first (write 4,
+  // advance nbits_/8 — the partial 4th byte is rewritten by the next
+  // flush), leaving nbits_ <= 7 so 40 more always fit.
+  inline void put64(uint64_t bits, int n) {
+    if (nbits_ + n > 64) {
+      int fl = nbits_ & ~7;
+      std::memcpy(out_, &hold_, 4);
+      out_ += fl >> 3;
+      hold_ >>= fl;
+      nbits_ -= fl;
+    }
+    hold_ |= bits << nbits_;
+    nbits_ += n;
+    while (nbits_ >= 32) {
+      std::memcpy(out_, &hold_, 4);
       out_ += 4;
       hold_ >>= 32;
       nbits_ -= 32;
@@ -534,18 +586,33 @@ void emit_token_block(const TokenRecorder& fc, bool last,
            if (ebits) bw.put(extra, ebits);
          });
 
+  // fused code|len entries: one load per literal, and the match's
+  // length-code + extra bits + distance code combined into a single put
+  // (<= 15+5+15 = 35 bits, within the 64-bit hold) — same bit stream,
+  // fewer flush checks
+  uint32_t ll_ent[286];
+  for (int i = 0; i < 286; ++i)
+    ll_ent[i] = ll_codes[i] | (static_cast<uint32_t>(ll_lens[i]) << 16);
   const uint16_t* toks = fc.toks;
   for (size_t ti = 0; ti < fc.ntok; ++ti) {
     uint16_t t = toks[ti];
     if (t < 0x8000) {
-      bw.put(ll_codes[t], ll_lens[t]);
+      uint32_t e = ll_ent[t];
+      bw.put(e & 0xFFFF, static_cast<int>(e >> 16));
     } else {
       int len = t & 0x3FFF;
       int c = kLen.idx[len];
-      bw.put(ll_codes[257 + c], ll_lens[257 + c]);
-      if (LBITS[c]) bw.put(static_cast<uint32_t>(len - LBASE[c]), LBITS[c]);
+      uint32_t e = ll_ent[257 + c];
+      uint64_t bits = e & 0xFFFF;
+      int nb = static_cast<int>(e >> 16);
+      if (LBITS[c]) {
+        bits |= static_cast<uint64_t>(len - LBASE[c]) << nb;
+        nb += LBITS[c];
+      }
       int ds = (t & 0x4000) ? 3 : 0;
-      bw.put(d_codes[ds], d_lens[ds]);
+      bits |= static_cast<uint64_t>(d_codes[ds]) << nb;
+      nb += d_lens[ds];
+      bw.put64(bits, nb);
     }
   }
   bw.put(ll_codes[256], ll_lens[256]);  // EOB
@@ -1058,12 +1125,30 @@ int64_t replay_packed_states(const unsigned char* states_bytes,
   return static_cast<int64_t>(out->sizes.size());
 }
 
+// Mark each leaf's grid row in the caller's per-size mask planes (masks[k]
+// nullable, 1 byte per grid cell).  With masks, the dense tables may come
+// from UNINITIALIZED scratch: the device gates every row on its mask bit,
+// so only leaf rows need writing — this removed the np.zeros page-fault
+// cost that dominated decode 'parse' (codec/batch_decode.py).
+void mark_leaf_masks(const LeafLists& leaves, int64_t nl, int32_t pw,
+                     uint8_t* const* masks) {
+  for (int64_t i = 0; i < nl; ++i) {
+    int32_t s = leaves.sizes[i];
+    int k = 0;
+    while ((1 << k) < s) ++k;
+    if (k >= 8 || !masks[k]) continue;  // geometry validated by the scatter
+    masks[k][static_cast<int64_t>(leaves.ys[i] / s) * (pw / s) +
+             leaves.xs[i] / s] = 1;
+  }
+}
+
 // Core of layer decode: replay + custom inflate-scatter with zlib fallback.
 // Returns leaf count or -1 (malformed).
 int64_t decode_layer_impl(const unsigned char* states_bytes,
                           int64_t bits_len, int32_t root_size,
                           const unsigned char* comp, size_t comp_len,
-                          int32_t pw, int32_t ph, int16_t* const* tables) {
+                          int32_t pw, int32_t ph, int16_t* const* tables,
+                          uint8_t* const* masks = nullptr) {
   thread_local LeafLists leaves;
   int64_t total = 0;
   int64_t nl = replay_packed_states(states_bytes, bits_len, root_size,
@@ -1072,7 +1157,10 @@ int64_t decode_layer_impl(const unsigned char* states_bytes,
   TableScatter sink{leaves.sizes.data(), leaves.ys.data(), leaves.xs.data(),
                     nl, pw, ph, tables};
   int rc = sparse_inflate_scatter(comp, comp_len, sink, 4 * total);
-  if (rc == INF_OK) return nl;
+  if (rc == INF_OK) {
+    if (masks) mark_leaf_masks(leaves, nl, pw, masks);
+    return nl;
+  }
   // fallback: generic zlib inflate + validated scatter (also the recovery
   // path when the custom decode bailed after partial writes — it rewrites
   // every coefficient of every leaf, so partial state is overwritten)
@@ -1099,6 +1187,7 @@ int64_t decode_layer_impl(const unsigned char* states_bytes,
     for (int64_t j = 0; j < s2; ++j) dst[j] = static_cast<int16_t>(src[j]);
     src += s2;
   }
+  if (masks) mark_leaf_masks(leaves, nl, pw, masks);
   return nl;
 }
 
@@ -1574,9 +1663,9 @@ int64_t aej_assemble_batch(int64_t n_tasks,
 int64_t aej_decode_layer(const unsigned char* states_bytes, int64_t bits_len,
                          int32_t root_size, const unsigned char* comp,
                          size_t comp_len, int32_t pw, int32_t ph,
-                         int16_t* const* tables) {
+                         int16_t* const* tables, uint8_t* const* masks) {
   return decode_layer_impl(states_bytes, bits_len, root_size, comp,
-                           comp_len, pw, ph, tables);
+                           comp_len, pw, ph, tables, masks);
 }
 
 // Batched layer decode: n_tasks (container, layer) pairs decoded on an
@@ -1591,12 +1680,14 @@ int64_t aej_decode_batch(int64_t n_tasks,
                          const unsigned char* const* comps,
                          const int64_t* comp_lens, const int32_t* pws,
                          const int32_t* phs, int16_t* const* tables,
+                         uint8_t* const* masks,
                          int32_t threads, int64_t* out_leaves) {
   std::atomic<int64_t> failed(0);
   run_tasks(static_cast<size_t>(n_tasks), threads, [&](size_t i) {
     int64_t nl = decode_layer_impl(states[i], bits_lens[i], root_sizes[i],
                                    comps[i], static_cast<size_t>(comp_lens[i]),
-                                   pws[i], phs[i], tables + 8 * i);
+                                   pws[i], phs[i], tables + 8 * i,
+                                   masks ? masks + 8 * i : nullptr);
     out_leaves[i] = nl;
     if (nl < 0) failed.fetch_add(1);
   });
@@ -1611,3 +1702,12 @@ size_t aej_deflate_bound(size_t len, size_t chunk_size) {
 }
 
 }  // extern "C"
+
+// TEMPORARY benchmark probe: scan-only cost of the sparse16 encoder.
+extern "C" size_t aej_bench_scan16(const int16_t* v, size_t n_coeffs) {
+  TokenRecorder fc;
+  fc.toks = token_scratch(4 * n_coeffs + 64);
+  RunAdler ad;
+  scan_coeffs(v, n_coeffs, fc, &ad);
+  return fc.ntok + (ad.value() & 1);
+}

@@ -61,13 +61,22 @@ DEFAULT_CHUNK = 1 << 20  # 1 MiB chunks: ~0.1% ratio loss, good parallelism
 
 
 def build_native() -> bool:
+    # compile to a temp file and os.replace() it: processes that already
+    # mmapped the old .so keep their inode (truncating the mapped file in
+    # place would SIGBUS them)
     src = os.path.join(_DIR, "entropy.cpp")
+    tmp = _SO + f".build{os.getpid()}"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-           "-o", _SO, "-lz", "-lpthread"]
+           "-o", tmp, "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -119,10 +128,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.aej_decode_layer.restype = ctypes.c_int64
         lib.aej_decode_layer.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_char_p,
-            ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p]
+            ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_void_p]
         lib.aej_decode_batch.restype = ctypes.c_int64
         lib.aej_decode_batch.argtypes = [ctypes.c_int64] + \
-            [ctypes.c_void_p] * 8 + [ctypes.c_int32, ctypes.c_void_p]
+            [ctypes.c_void_p] * 9 + [ctypes.c_int32, ctypes.c_void_p]
         lib.aej_assemble_batch.restype = ctypes.c_int64
         lib.aej_assemble_batch.argtypes = [ctypes.c_int64] + \
             [ctypes.c_void_p] * 9 + [ctypes.c_int32, ctypes.c_int32,
@@ -241,28 +251,35 @@ def layer_payload(leaf_sizes, leaf_y, leaf_x, h: int, w: int, pw: int,
 
 
 def decode_layer(states_bytes: bytes, bits_len: int, root_size: int,
-                 comp: bytes, pw: int, ph: int, table_ptrs):
+                 comp: bytes, pw: int, ph: int, table_ptrs,
+                 mask_ptrs=None):
     """Replay a layer's state stream, decode its coefficient stream (custom
     sparse inflater with zlib fallback) and scatter zigzag-int16 rows into
-    pre-zeroed dense tables (see entropy.cpp aej_decode_layer).  Leaf
-    geometry is bounds-validated against the (ph, pw) padded plane.
+    dense tables (see entropy.cpp aej_decode_layer).  Leaf geometry is
+    bounds-validated against the (ph, pw) padded plane.  With `mask_ptrs`
+    (8 per-size uint8 mask-plane pointers), each leaf's grid cell is marked
+    1 and the tables may be uninitialized scratch (non-leaf rows are gated
+    out on device); without it the tables must be pre-zeroed.
     Returns the leaf count, or None when unavailable / malformed."""
     lib = _load()
     if lib is None:
         return None
     n = lib.aej_decode_layer(states_bytes, bits_len, root_size, comp,
                              len(comp), pw, ph,
-                             ctypes.cast(table_ptrs, ctypes.c_void_p))
+                             ctypes.cast(table_ptrs, ctypes.c_void_p),
+                             ctypes.cast(mask_ptrs, ctypes.c_void_p)
+                             if mask_ptrs is not None else None)
     return None if n < 0 else int(n)
 
 
 def decode_batch_native(states_ptrs, bits_lens, root_sizes, comp_ptrs,
-                        comp_lens, pws, phs, table_ptrs,
+                        comp_lens, pws, phs, table_ptrs, mask_ptrs=None,
                         threads: Optional[int] = None):
     """One call decoding n (container, layer) tasks on a C++ thread pool
     (see entropy.cpp aej_decode_batch).  Pointer args are int64/int32 numpy
-    arrays (table_ptrs: (n, 8) uint64).  Returns the per-task leaf counts
-    (-1 = malformed), or None when the native library is unavailable."""
+    arrays (table_ptrs / mask_ptrs: (n, 8) uint64; mask_ptrs optional, see
+    decode_layer).  Returns the per-task leaf counts (-1 = malformed), or
+    None when the native library is unavailable."""
     lib = _load()
     if lib is None:
         return None
@@ -274,7 +291,9 @@ def decode_batch_native(states_ptrs, bits_lens, root_sizes, comp_ptrs,
         n, states_ptrs.ctypes.data, bits_lens.ctypes.data,
         root_sizes.ctypes.data, comp_ptrs.ctypes.data,
         comp_lens.ctypes.data, pws.ctypes.data, phs.ctypes.data,
-        table_ptrs.ctypes.data, threads, out.ctypes.data)
+        table_ptrs.ctypes.data,
+        mask_ptrs.ctypes.data if mask_ptrs is not None else None,
+        threads, out.ctypes.data)
     return out
 
 

@@ -162,8 +162,9 @@ def sharded_dense_decode_fn(cfg: CodecConfig, shape: Tuple[int, int],
     outputs along dim 0 reproduces the single-device result (asserted
     numerically in tests/test_sharding.py).
 
-    Returns fn(tables) -> (B, H, W, 3) float32 sRGB, tables[gi][si] sharded
-    on dim 0.  Reference decode loop: /root/reference/src/jpeg/jpeg.py:274-297.
+    Returns fn(tables, masks) -> (B, H, W, 3) float32 sRGB, tables[gi][si]
+    (int16 rows) and masks[gi][si] (uint8 leaf gates) sharded on dim 0.
+    Reference decode loop: /root/reference/src/jpeg/jpeg.py:274-297.
     """
     from ..codec import batch_decode as bd
 
@@ -180,7 +181,7 @@ def sharded_dense_decode_fn(cfg: CodecConfig, shape: Tuple[int, int],
 
     axes = P(data_axes)
     in_spec = tuple(tuple(axes for _ in g.sizes) for g in spec.groups)
-    fn = shard_map(jit_local, mesh=mesh, in_specs=(in_spec,),
+    fn = shard_map(jit_local, mesh=mesh, in_specs=(in_spec, in_spec),
                    out_specs=axes, check_vma=False)
     return jax.jit(fn), spec
 
