@@ -891,6 +891,11 @@ struct TableScatter {
     s2 = static_cast<int64_t>(s) * s;
     dst = tables[k] +
           (static_cast<int64_t>(y / s) * (pw / s) + x / s) * s2;
+    // zero the whole row up front: commit() skips zero writes and
+    // skip_zero_words() only advances indices, and since the mask-gated
+    // decode the tables arrive as UNINITIALIZED scratch, not np.zeros —
+    // without this, garbage survives inside leaf rows at zero positions
+    std::memset(dst, 0, static_cast<size_t>(s2) * 2);
     oi = 0;
     return true;
   }
