@@ -79,11 +79,26 @@ class MetricsComparison:
         return avg
 
     def composite_score(self, row) -> float:
-        score = (COMPOSITE_WEIGHTS["psnr_ratio"] * row["psnr_ratio"]
-                 + COMPOSITE_WEIGHTS["ssim_ratio"] * row["ssim_ratio"]
-                 + COMPOSITE_WEIGHTS["ms_ssim_ratio"] * row["ms_ssim_ratio"]
-                 + COMPOSITE_WEIGHTS["lpips_ratio"]
-                 / max(row["lpips_ratio"], 1e-9))
+        """Reference weights .10/.20/.35/.35-inverted
+        (/root/reference/test/analysis/metrics_comparison.py:54-59,136-144).
+        When the sweep ran without LPIPS weights (lpips_ratio NaN — the
+        torch-hub weights are unobtainable here), renormalize over the
+        remaining metrics instead of poisoning the score with NaN."""
+        lp = row["lpips_ratio"]
+        if lp == lp:  # not NaN
+            score = (COMPOSITE_WEIGHTS["psnr_ratio"] * row["psnr_ratio"]
+                     + COMPOSITE_WEIGHTS["ssim_ratio"] * row["ssim_ratio"]
+                     + COMPOSITE_WEIGHTS["ms_ssim_ratio"]
+                     * row["ms_ssim_ratio"]
+                     + COMPOSITE_WEIGHTS["lpips_ratio"] / max(lp, 1e-9))
+        else:
+            wsum = (COMPOSITE_WEIGHTS["psnr_ratio"]
+                    + COMPOSITE_WEIGHTS["ssim_ratio"]
+                    + COMPOSITE_WEIGHTS["ms_ssim_ratio"])
+            score = (COMPOSITE_WEIGHTS["psnr_ratio"] * row["psnr_ratio"]
+                     + COMPOSITE_WEIGHTS["ssim_ratio"] * row["ssim_ratio"]
+                     + COMPOSITE_WEIGHTS["ms_ssim_ratio"]
+                     * row["ms_ssim_ratio"]) / wsum
         return round(score, 4)
 
     def find_better_configurations(self, avg: pd.DataFrame):

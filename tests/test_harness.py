@@ -68,6 +68,29 @@ def test_compare_pipeline(small_images, tmp_path):
         assert Path(path).exists()
 
 
+def test_compare_without_lpips_renormalizes(tmp_path):
+    # a weight-less sweep leaves lpips empty: the composite must
+    # renormalize over psnr/ssim/ms-ssim, not go NaN (which would make
+    # every better_* selection silently impossible)
+    rows = []
+    for img in ("a.png", "b.png"):
+        rows.append({
+            "image_name": img, "color_space": "YCbCr",
+            "min_quality": 90, "max_quality": 90,
+            "min_block_size": 8, "max_block_size": 8,
+            "psnr": 40.0, "ssim": 0.999, "ms_ssim": 0.999,
+            "lpips": float("nan"), "compression_ratio": 30.0})
+    out = tmp_path / "cr_YCbCr_420.csv"
+    pd.DataFrame(rows).to_csv(out, index=False)
+    cmp_ = MetricsComparison(input_dir=str(tmp_path))
+    cmp_.run()
+    # vs the q10 anchor (PSNR 25.69, CR 26.39) this config is strictly
+    # better on compression and quality -> must be selected despite NaN
+    assert cmp_.better_compression
+    scores = [r["composite_score"] for r in cmp_.better_compression]
+    assert all(s == s and s > 1.0 for s in scores)
+
+
 def test_extract_subsampling():
     assert extract_subsampling("cr_YCbCr_420.csv") == "4:2:0"
     assert extract_subsampling("cr_ICtCp_411.csv") == "4:1:1"
