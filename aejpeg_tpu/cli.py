@@ -7,6 +7,8 @@ The reference's only interactive surface is a Tkinter GUI
   aejpeg decompress <in.ajpg ...> -o outdir
   aejpeg preview    <in.png>      # compress+decompress+metrics report
   aejpeg sweep      <imgdir> -o results.csv [...]
+  aejpeg compare    <results_dir>  # better-than-JPEG selection (anchors)
+  aejpeg analyze    <results_dir> --compression-file --quality-file [...]
   aejpeg visualize  <in.png> -o outdir
   aejpeg bench                    # device/host throughput probe
   aejpeg info       <in.ajpg>     # container metadata
@@ -123,6 +125,31 @@ def cmd_sweep(args):
     sweep.run()
 
 
+def cmd_compare(args):
+    from .harness.compare import MetricsComparison
+    cmp_ = MetricsComparison(
+        input_dir=args.results_dir,
+        file_list=args.files or None,
+        quality_threshold=args.quality_threshold,
+        compression_threshold=args.compression_threshold)
+    outputs = cmp_.run()
+    print(json.dumps({
+        "better_compression": len(cmp_.better_compression),
+        "better_quality": len(cmp_.better_quality),
+        "outputs": {k: str(v) for k, v in outputs.items()},
+    }, indent=2))
+
+
+def cmd_analyze(args):
+    from .harness.analyze import MetricsAnalysis
+    an = MetricsAnalysis(args.results_dir, args.figures_dir,
+                         args.compression_file, args.quality_file)
+    sub = an.subsampling_analysis(visualize=args.plots)
+    top = an.settings_analysis(top_n=args.top, visualize=args.plots)
+    print(sub.to_string(index=False))
+    print(top.to_string(index=False))
+
+
 def cmd_visualize(args):
     from .harness.visualize import visualize
     visualize(args.input, args.output, _cfg_from_args(args))
@@ -204,6 +231,24 @@ def main(argv=None):
     s.add_argument("--limit", type=int, default=0)
     s.add_argument("--entropy-level", type=int, default=-1)
     s.set_defaults(fn=cmd_sweep)
+
+    cp = sub.add_parser("compare", help="flag configs beating the standard-"
+                        "JPEG anchors (reference metrics_comparison.py)")
+    cp.add_argument("results_dir")
+    cp.add_argument("--files", nargs="*", default=None)
+    cp.add_argument("--quality-threshold", type=float, default=0.05)
+    cp.add_argument("--compression-threshold", type=float, default=0.05)
+    cp.set_defaults(fn=cmd_compare)
+
+    an = sub.add_parser("analyze", help="subsampling/settings stats + "
+                        "heatmaps (reference metrics_analysis.py)")
+    an.add_argument("results_dir")
+    an.add_argument("--figures-dir", default="figures")
+    an.add_argument("--compression-file", required=True)
+    an.add_argument("--quality-file", required=True)
+    an.add_argument("--top", type=int, default=5)
+    an.add_argument("--plots", action="store_true")
+    an.set_defaults(fn=cmd_analyze)
 
     w = sub.add_parser("visualize")
     w.add_argument("input")
