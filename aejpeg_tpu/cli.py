@@ -147,7 +147,9 @@ def cmd_analyze(args):
     sub = an.subsampling_analysis(visualize=args.plots)
     top = an.settings_analysis(top_n=args.top, visualize=args.plots)
     print(sub.to_string(index=False))
-    print(top.to_string(index=False))
+    for name, df in top.items():
+        print(f"--- {name}")
+        print(df.to_string(index=False))
 
 
 def cmd_visualize(args):
