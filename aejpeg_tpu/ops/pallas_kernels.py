@@ -25,24 +25,52 @@ def _interpret() -> bool:
 _CHUNK = 128
 
 
-def _hist_kernel(vals_ref, hist_ref):
-    """(T, N) int32 values (whole array in VMEM) -> (T, 256) histograms.
+def _hist_kernel(vals_ref, sel_ref, bins_ref, out_ref):
+    """(T, N/8, 8) int32 values (whole array in VMEM) -> (T, 128, 128) f32
+    packed radix pair-counts (diagonal 16x16 blocks hold the histograms).
 
-    Chunked one-hot compare-sums: each fori step broadcasts a (T, 128) value
-    chunk against all 256 bins in registers and accumulates — no gathers, no
-    scatters, no dynamic stores (Mosaic requires 128-aligned dynamic column
-    indices, so per-bin column writes are not lowerable)."""
-    t, n = vals_ref.shape
-    bins = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
+    Radix-16 MXU counting: value v = hi*16 + lo, so
+    hist[a*16+b] = sum_i [hi_i == a][lo_i == b] — an outer-product
+    contraction the MXU can do.  To use full 128-wide tiles, 8 values pack
+    per row with block-diagonal one-hots A2[g, e*16+a] = [hi(g,e) == a]
+    (and B2 for lo): R = A2^T B2 then counts for element slot e live in
+    R[e*16+a, e*16+b]; cross-blocks (e != f) are discarded by the caller.
+    In-kernel lane reshapes are unlowerable, so the 8->128 replication
+    rides a tiny selector matmul (sel[e, c] = [c >> 4 == e], values <= 255
+    exact in bf16) and the one-hot compare runs against bins[c] = c & 15.
+    VPU work drops from 256 compares+adds per value (the one-hot
+    compare-sum this replaces) to ~32 compare-lanes; the adds ride the MXU
+    at full tile utilization.  f32 accumulation is exact (counts < 2^24).
+    The -1 padding never counts: its hi replica is -1, matching no bin."""
+    sel = sel_ref[:]                    # (8, 128) bf16 block selector
+    bins = bins_ref[:]                  # (1, 128) f32: c & 15
+    row = vals_ref[0]                   # (N/8, 8) int32
+    hi = (row >> 4).astype(jnp.bfloat16)
+    lo = (row & 15).astype(jnp.bfloat16)
+    rep_hi = jax.lax.dot_general(hi, sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    rep_lo = jax.lax.dot_general(lo, sel, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    a2 = (rep_hi == bins).astype(jnp.bfloat16)         # (N/8, 128)
+    b2 = (rep_lo == bins).astype(jnp.bfloat16)
+    out_ref[0] = jax.lax.dot_general(
+        a2, b2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-    def body(i, acc):
-        chunk = vals_ref[:, pl.ds(i * _CHUNK, _CHUNK)]       # (T, C)
-        eq = (chunk[:, :, None] == bins).astype(jnp.int32)   # (T, C, 256)
-        return acc + jnp.sum(eq, axis=1)
 
-    hist = jax.lax.fori_loop(0, n // _CHUNK, body,
-                             jnp.zeros((t, 256), jnp.int32))
-    hist_ref[:] = hist
+@functools.lru_cache(maxsize=1)
+def _diag_mask():
+    """(8, 1, 8, 1) selector of the diagonal element-slot blocks."""
+    return np.eye(8, dtype=np.float32).reshape(8, 1, 8, 1)
+
+
+@functools.lru_cache(maxsize=1)
+def _hist_consts():
+    c = np.arange(128)
+    sel = (c[None, :] >> 4 == np.arange(8)[:, None]).astype(np.float32)
+    bins = (c & 15).astype(np.float32).reshape(1, 128)
+    return sel.astype(np.dtype("bfloat16") if hasattr(np, "bfloat16")
+                      else np.float32), bins
 
 
 def histogram256(values: jnp.ndarray) -> jnp.ndarray:
@@ -52,13 +80,29 @@ def histogram256(values: jnp.ndarray) -> jnp.ndarray:
     pad = (-n) % _CHUNK
     if pad:
         values = jnp.pad(values, ((0, 0), (0, pad)), constant_values=-1)
-    return pl.pallas_call(
+    n += pad
+    sel_np, bins_np = _hist_consts()
+    sel = jnp.asarray(sel_np, jnp.bfloat16)
+    bins = jnp.asarray(bins_np, jnp.float32)
+    pairs = pl.pallas_call(
         _hist_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, 256), jnp.int32),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, n // 8, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, 128, 128), jnp.float32),
         interpret=_interpret(),
-    )(values)
+    )(values.reshape(t, n // 8, 8), sel, bins)
+    r4 = pairs.reshape(t, 8, 16, 8, 16)
+    hist = (r4 * jnp.asarray(_diag_mask())).sum(axis=(1, 3))
+    return hist.reshape(t, 256).astype(jnp.int32)
 
 
 _LUT_ROWS = 8
