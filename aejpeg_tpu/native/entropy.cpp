@@ -376,100 +376,6 @@ size_t zero_span16(const int16_t* v, size_t i, size_t n) {
   return i;
 }
 
-// Tokenize int16 coefficients AS the byte stream of their int32-LE
-// widening, without materializing it: each coefficient v contributes bytes
-// [lo, hi, s, s] (s = sign byte).  Zero coefficients extend a pending
-// zero-byte run; repeated nonzero coefficients become distance-4 matches.
-// Token set is the same (lit, match dist 1/4) as scan_tokens, so the
-// Huffman/emit machinery is shared.
-template <typename E>
-inline void scan_coeffs(const int16_t* v, size_t n, E&& e,
-                        RunAdler* ad = nullptr) {
-  size_t zrun = 0;  // pending zero bytes
-  auto flush_z = [&]() {
-    if (zrun >= 4) {
-      e.lit(0);
-      size_t rem = zrun - 1;
-      while (rem >= 3) {
-        size_t l = rem < 258 ? rem : 258;
-        e.match(l, 1);
-        rem -= l;
-      }
-      while (rem--) e.lit(0);
-    } else {
-      for (size_t k = 0; k < zrun; ++k) e.lit(0);
-    }
-    zrun = 0;
-  };
-  size_t i = 0;
-  while (i < n) {
-    int16_t x = v[i];
-    if (x == 0) {
-      // inline check for short runs; the out-of-line SIMD clone only pays
-      // off once a run survives 16 coefficients
-      size_t j = i;
-      while (j + 4 <= n && j < i + 16) {
-        uint64_t w;
-        std::memcpy(&w, v + j, 8);
-        if (w != 0) break;
-        j += 4;
-      }
-      if (j == i + 16) j = zero_span16(v, j, n);
-      while (j < n && v[j] == 0) ++j;
-      if (ad) ad->zero_run((j - i) * 4);
-      zrun += (j - i) * 4;
-      i = j;
-      continue;
-    }
-    size_t j = i + 1;
-    while (j < n && v[j] == x) ++j;
-    size_t rep = j - i;
-    flush_z();
-    unsigned u = static_cast<uint16_t>(x);
-    unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
-    unsigned sb = x < 0 ? 0xFF : 0x00;
-    if (ad) ad->word_rep(lo, hi, sb, rep);
-    if (rep >= 2) {
-      // first word as literals, the rest as one 4-byte-period match run
-      e.lit(lo);
-      e.lit(hi);
-      e.lit(sb);
-      e.lit(sb);
-      // match lengths stay multiples of 4 so the run always ends on a word
-      // boundary (258-byte matches would leave a phase-shifted tail)
-      size_t rem = (rep - 1) * 4;
-      while (rem) {
-        size_t l = rem < 256 ? rem : 256;
-        e.match(l, 4);
-        rem -= l;
-      }
-      i = j;
-      continue;
-    }
-    e.lit(lo);
-    if (hi == sb) {
-      // small magnitude: hi duplicates the sign byte -> 3-byte tail
-      if (sb == 0) {
-        zrun = 3;  // merges with following zero coefficients
-      } else {
-        e.lit(0xFF);
-        e.lit(0xFF);
-        e.lit(0xFF);
-      }
-    } else {
-      e.lit(hi);
-      if (sb == 0) {
-        zrun = 2;
-      } else {
-        e.lit(0xFF);
-        e.lit(0xFF);
-      }
-    }
-    i = j;
-  }
-  flush_z();
-}
-
 // Raw-pointer bit writer: the caller preallocates the exact output size
 // (computable from the frequency tables), so the hot token loop has no
 // capacity checks or vector resizes.
@@ -527,12 +433,20 @@ class PtrBitWriter {
 // Shared Huffman-block emitter: tables + header + token replay from a
 // TokenRecorder.  Appends the dynamic-Huffman block (plus sync flush if not
 // last) to *body; output size is computed exactly up front.
-void emit_token_block(const TokenRecorder& fc, bool last,
-                      std::vector<unsigned char>* body) {
+//
+// emit_block_with is the shared skeleton: Huffman tables, header, exact
+// output size from the frequency tables, EOB and sync flush; the token
+// section itself is produced by `replay(bw, ll_ent, d_codes, d_lens)` —
+// either the byte-token loop (emit_token_block) or the coefficient-token
+// loop (emit_coeff_tokens), both of which must emit bits consistent with
+// the freq tables they recorded.
+template <typename Replay>
+void emit_block_with(const uint64_t* freq, const uint64_t* dfreq, bool last,
+                     std::vector<unsigned char>* body, Replay&& replay) {
   uint8_t ll_lens[286];
-  huffman_lengths(fc.freq, 286, 15, ll_lens);
+  huffman_lengths(freq, 286, 15, ll_lens);
   uint8_t d_lens[30] = {0};
-  if (huffman_lengths(fc.dfreq, 30, 15, d_lens) == 0) d_lens[0] = 1;
+  if (huffman_lengths(dfreq, 30, 15, d_lens) == 0) d_lens[0] = 1;
 
   uint16_t ll_codes[286], d_codes[30];
   canonical_codes(ll_lens, 286, 15, ll_codes);
@@ -565,9 +479,9 @@ void emit_token_block(const TokenRecorder& fc, bool last,
   uint64_t bits = 3 + 5 + 5 + 4 + 3ull * hclen;
   cl_rle(seq.data(), static_cast<int>(seq.size()),
          [&](int sym, int, int ebits) { bits += cl_lens[sym] + ebits; });
-  for (int i = 0; i < 286; ++i) bits += fc.freq[i] * ll_lens[i];
-  for (int c = 0; c < 29; ++c) bits += fc.freq[257 + c] * LBITS[c];
-  bits += fc.dfreq[0] * d_lens[0] + fc.dfreq[3] * d_lens[3];
+  for (int i = 0; i < 286; ++i) bits += freq[i] * ll_lens[i];
+  for (int c = 0; c < 29; ++c) bits += freq[257 + c] * LBITS[c];
+  bits += dfreq[0] * d_lens[0] + dfreq[3] * d_lens[3];
   if (!last) bits += 3;  // empty stored block header (sync flush)
   size_t out_bytes = (bits + 7) / 8 + (last ? 0 : 4);
 
@@ -593,28 +507,7 @@ void emit_token_block(const TokenRecorder& fc, bool last,
   uint32_t ll_ent[286];
   for (int i = 0; i < 286; ++i)
     ll_ent[i] = ll_codes[i] | (static_cast<uint32_t>(ll_lens[i]) << 16);
-  const uint16_t* toks = fc.toks;
-  for (size_t ti = 0; ti < fc.ntok; ++ti) {
-    uint16_t t = toks[ti];
-    if (t < 0x8000) {
-      uint32_t e = ll_ent[t];
-      bw.put(e & 0xFFFF, static_cast<int>(e >> 16));
-    } else {
-      int len = t & 0x3FFF;
-      int c = kLen.idx[len];
-      uint32_t e = ll_ent[257 + c];
-      uint64_t bits = e & 0xFFFF;
-      int nb = static_cast<int>(e >> 16);
-      if (LBITS[c]) {
-        bits |= static_cast<uint64_t>(len - LBASE[c]) << nb;
-        nb += LBITS[c];
-      }
-      int ds = (t & 0x4000) ? 3 : 0;
-      bits |= static_cast<uint64_t>(d_codes[ds]) << nb;
-      nb += d_lens[ds];
-      bw.put64(bits, nb);
-    }
-  }
+  replay(bw, ll_ent, d_codes, d_lens);
   bw.put(ll_codes[256], ll_lens[256]);  // EOB
   if (!last) {
     bw.put(0, 1);
@@ -631,6 +524,310 @@ void emit_token_block(const TokenRecorder& fc, bool last,
   body->resize(base + out_bytes);
 }
 
+void emit_token_block(const TokenRecorder& fc, bool last,
+                      std::vector<unsigned char>* body) {
+  emit_block_with(
+      fc.freq, fc.dfreq, last, body,
+      [&](PtrBitWriter& bw, const uint32_t* ll_ent, const uint16_t* d_codes,
+          const uint8_t* d_lens) {
+        const uint16_t* toks = fc.toks;
+        for (size_t ti = 0; ti < fc.ntok; ++ti) {
+          uint16_t t = toks[ti];
+          if (t < 0x8000) {
+            uint32_t e = ll_ent[t];
+            bw.put(e & 0xFFFF, static_cast<int>(e >> 16));
+          } else {
+            int len = t & 0x3FFF;
+            int c = kLen.idx[len];
+            uint32_t e = ll_ent[257 + c];
+            uint64_t bits = e & 0xFFFF;
+            int nb = static_cast<int>(e >> 16);
+            if (LBITS[c]) {
+              bits |= static_cast<uint64_t>(len - LBASE[c]) << nb;
+              nb += LBITS[c];
+            }
+            int ds = (t & 0x4000) ? 3 : 0;
+            bits |= static_cast<uint64_t>(d_codes[ds]) << nb;
+            nb += d_lens[ds];
+            bw.put64(bits, nb);
+          }
+        }
+      });
+}
+
+// ------------------------------------------------- coefficient-token path
+// The byte-token scan above costs one recorded token + one freq increment
+// per WIDENED BYTE of every nonzero coefficient (4 bytes each), and the
+// emit pass replays those byte tokens one Huffman put at a time — together
+// they dominated the host assemble stage.  The coefficient-granular path
+// records ONE u32 token per zero run / nonzero value / value run, counts
+// frequencies with O(1) closed forms, and emits a whole coefficient's
+// literal codes with a single table lookup + put64.  The CHOSEN token
+// sequence (lit/match decisions and the resulting bit stream) is exactly
+// the one scan_coeffs + emit_token_block produced, so outputs stay
+// byte-identical; only the bookkeeping granularity changed.
+
+struct CoeffScan {
+  // u32 tokens: 0x80000000|n = run of n zero BYTES; 0x40000000|u16(v)
+  // followed by a bare u32 rep = repeated nonzero value; else u16(v) != 0
+  // = single nonzero coefficient.
+  uint32_t* toks = nullptr;
+  size_t ntok = 0;
+  uint64_t freq[286] = {0};
+  uint64_t dfreq[30] = {0};
+};
+
+inline uint32_t* coeff_token_scratch(size_t cap) {
+  thread_local std::vector<uint32_t> buf;
+  if (buf.size() < cap) buf.resize(cap);
+  return buf.data();
+}
+
+// Frequency contribution of flush_z(zrun = n bytes): lit(0), then matches
+// of 258 while rem >= 3 (min(rem, 258)), else trailing lit(0)s.
+static inline void zrun_account(uint64_t n, uint64_t* freq,
+                                uint64_t* dfreq) {
+  if (n >= 4) {
+    freq[0]++;
+    uint64_t rem = n - 1;
+    uint64_t k = rem / 258, r = rem % 258;
+    freq[257 + 28] += k;  // length-258 code
+    dfreq[0] += k;
+    if (r >= 3) {
+      freq[257 + kLen.idx[r]]++;
+      dfreq[0]++;
+    } else {
+      freq[0] += r;
+    }
+  } else {
+    freq[0] += n;
+  }
+}
+
+// Frequency contribution of a value run's match chain: rem4 = (rep-1)*4
+// bytes in matches of min(rem, 256) (multiples of 4, so no sub-3 tail).
+static inline void run_account(uint64_t rem4, uint64_t* freq,
+                               uint64_t* dfreq) {
+  uint64_t k = rem4 / 256, r = rem4 % 256;
+  freq[257 + kLen.idx[256]] += k;
+  dfreq[3] += k;
+  if (r) {
+    freq[257 + kLen.idx[r]]++;
+    dfreq[3]++;
+  }
+}
+
+// scan_coeffs with coefficient-granular recording: same zero-span SIMD,
+// same token choices, same RunAdler — but one token and O(1) freq updates
+// per run/value instead of per widened byte.
+void scan_coeffs_fast(const int16_t* v, size_t n, CoeffScan& cs,
+                      RunAdler* ad) {
+  uint64_t zrun = 0;
+  auto flush_z = [&]() {
+    if (zrun) {
+      zrun_account(zrun, cs.freq, cs.dfreq);
+      cs.toks[cs.ntok++] = 0x80000000u | static_cast<uint32_t>(zrun);
+      zrun = 0;
+    }
+  };
+  size_t i = 0;
+  while (i < n) {
+    int16_t x = v[i];
+    if (x == 0) {
+      size_t j = i;
+      while (j + 4 <= n && j < i + 16) {
+        uint64_t w;
+        std::memcpy(&w, v + j, 8);
+        if (w != 0) break;
+        j += 4;
+      }
+      if (j == i + 16) j = zero_span16(v, j, n);
+      while (j < n && v[j] == 0) ++j;
+      if (ad) ad->zero_run((j - i) * 4);
+      zrun += (j - i) * 4;
+      i = j;
+      continue;
+    }
+    size_t j = i + 1;
+    while (j < n && v[j] == x) ++j;
+    size_t rep = j - i;
+    flush_z();
+    unsigned u = static_cast<uint16_t>(x);
+    unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+    unsigned sb = x < 0 ? 0xFF : 0x00;
+    if (ad) ad->word_rep(lo, hi, sb, rep);
+    if (rep >= 2) {
+      cs.freq[lo]++;
+      cs.freq[hi]++;
+      cs.freq[sb] += 2;
+      run_account((rep - 1) * 4, cs.freq, cs.dfreq);
+      cs.toks[cs.ntok++] = 0x40000000u | u;
+      cs.toks[cs.ntok++] = static_cast<uint32_t>(rep);
+      i = j;
+      continue;
+    }
+    cs.freq[lo]++;
+    if (hi == sb) {
+      if (sb == 0) {
+        zrun = 3;  // merges with following zero coefficients
+      } else {
+        cs.freq[0xFF] += 3;
+      }
+    } else {
+      cs.freq[hi]++;
+      if (sb == 0) {
+        zrun = 2;
+      } else {
+        cs.freq[0xFF] += 2;
+      }
+    }
+    cs.toks[cs.ntok++] = u;
+    i = j;
+  }
+  flush_z();
+}
+
+// Per-value emit LUT: concatenated literal codes of the bytes a SINGLE
+// coefficient v in [-512, 512) emits (positives leave their zero tail to
+// the following zero run, exactly like the scan).  len 0 = build failed
+// (> 57 bits, beyond put64's guarantee) -> slow path.
+struct CoeffLut {
+  uint64_t bits[1024];
+  uint8_t len[1024];
+};
+
+inline CoeffLut* coeff_lut_scratch() {
+  thread_local CoeffLut lut;
+  return &lut;
+}
+
+void build_coeff_lut(const uint32_t* ll_ent, CoeffLut* lut) {
+  for (int vi = -512; vi < 512; ++vi) {
+    int idx = vi + 512;
+    unsigned u = static_cast<uint16_t>(static_cast<int16_t>(vi));
+    unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+    uint64_t bits = 0;
+    int n = 0;
+    auto app = [&](unsigned sym) {
+      uint32_t e = ll_ent[sym];
+      bits |= static_cast<uint64_t>(e & 0xFFFF) << n;
+      n += static_cast<int>(e >> 16);
+    };
+    app(lo);
+    if (vi < 0) {
+      if (hi != 0xFF) app(hi);
+      int k = hi == 0xFF ? 3 : 2;
+      for (int q = 0; q < k; ++q) app(0xFF);
+    } else if (hi) {
+      app(hi);
+    }
+    if (n <= 57) {
+      lut->bits[idx] = bits;
+      lut->len[idx] = static_cast<uint8_t>(n);
+    } else {
+      lut->len[idx] = 0;
+    }
+  }
+}
+
+// Replay coefficient tokens through the bit writer (the emit half of the
+// coefficient-granular path).
+void emit_coeff_tokens(const uint32_t* toks, size_t ntok,
+                       PtrBitWriter& bw, const uint32_t* ll_ent,
+                       const uint16_t* d_codes, const uint8_t* d_lens) {
+  CoeffLut* lut = coeff_lut_scratch();
+  build_coeff_lut(ll_ent, lut);
+  uint32_t l0e = ll_ent[0];
+  uint32_t l0c = l0e & 0xFFFF;
+  int l0n = static_cast<int>(l0e >> 16);
+  auto match_bits = [&](int len, int ds, uint64_t* bits, int* nb) {
+    int c = kLen.idx[len];
+    uint32_t e = ll_ent[257 + c];
+    *bits = e & 0xFFFF;
+    *nb = static_cast<int>(e >> 16);
+    if (LBITS[c]) {
+      *bits |= static_cast<uint64_t>(len - LBASE[c]) << *nb;
+      *nb += LBITS[c];
+    }
+    *bits |= static_cast<uint64_t>(d_codes[ds]) << *nb;
+    *nb += d_lens[ds];
+  };
+  uint64_t m258b, m256b;
+  int m258n, m256n;
+  match_bits(258, 0, &m258b, &m258n);
+  match_bits(256, 3, &m256b, &m256n);
+  auto emit_lit_bytes = [&](unsigned u) {
+    // slow path: the 4 widened bytes of one coefficient, scan semantics
+    int16_t x = static_cast<int16_t>(u);
+    unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+    auto put_sym = [&](unsigned sym) {
+      uint32_t e = ll_ent[sym];
+      bw.put(e & 0xFFFF, static_cast<int>(e >> 16));
+    };
+    put_sym(lo);
+    if (x < 0) {
+      if (hi != 0xFF) put_sym(hi);
+      int k = hi == 0xFF ? 3 : 2;
+      for (int q = 0; q < k; ++q) put_sym(0xFF);
+    } else if (hi) {
+      put_sym(hi);
+    }
+  };
+  for (size_t ti = 0; ti < ntok; ++ti) {
+    uint32_t t = toks[ti];
+    if (t & 0x80000000u) {  // zero run of nn bytes
+      uint32_t nn = t & 0x7FFFFFFFu;
+      if (nn >= 4) {
+        bw.put(l0c, l0n);
+        uint64_t rem = nn - 1;
+        uint64_t k = rem / 258;
+        uint32_t r = rem % 258;
+        for (; k; --k) bw.put64(m258b, m258n);
+        if (r >= 3) {
+          uint64_t b;
+          int nb;
+          match_bits(static_cast<int>(r), 0, &b, &nb);
+          bw.put64(b, nb);
+        } else {
+          for (; r; --r) bw.put(l0c, l0n);
+        }
+      } else {
+        for (uint32_t q = nn; q; --q) bw.put(l0c, l0n);
+      }
+    } else if (t & 0x40000000u) {  // value run: 4 literals + dist-4 chain
+      unsigned u = t & 0xFFFF;
+      uint32_t rep = toks[++ti];
+      int16_t x = static_cast<int16_t>(u);
+      unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+      unsigned sb = x < 0 ? 0xFF : 0x00;
+      uint32_t el = ll_ent[lo];
+      bw.put(el & 0xFFFF, static_cast<int>(el >> 16));
+      uint32_t eh = ll_ent[hi];
+      bw.put(eh & 0xFFFF, static_cast<int>(eh >> 16));
+      uint32_t es = ll_ent[sb];
+      bw.put(es & 0xFFFF, static_cast<int>(es >> 16));
+      bw.put(es & 0xFFFF, static_cast<int>(es >> 16));
+      uint64_t rem = static_cast<uint64_t>(rep - 1) * 4;
+      uint64_t k = rem / 256;
+      uint32_t r = rem % 256;
+      for (; k; --k) bw.put64(m256b, m256n);
+      if (r) {
+        uint64_t b;
+        int nb;
+        match_bits(static_cast<int>(r), 3, &b, &nb);
+        bw.put64(b, nb);
+      }
+    } else {  // single coefficient
+      int idx = static_cast<int16_t>(static_cast<uint16_t>(t)) + 512;
+      if (static_cast<uint32_t>(idx) < 1024 && lut->len[idx]) {
+        bw.put64(lut->bits[idx], lut->len[idx]);
+      } else {
+        emit_lit_bytes(t & 0xFFFF);
+      }
+    }
+  }
+}
+
 // One coefficient chunk -> raw deflate bits (byte-aligned at the end).
 void sparse16_chunk(const int16_t* v, size_t n_coeffs, bool last,
                     ChunkResult* out) {
@@ -640,13 +837,18 @@ void sparse16_chunk(const int16_t* v, size_t n_coeffs, bool last,
     emit_stored(nullptr, 0, last, &out->data);
     return;
   }
-  TokenRecorder fc;
-  fc.toks = token_scratch(4 * n_coeffs + 64);
+  CoeffScan cs;
+  cs.toks = coeff_token_scratch(2 * n_coeffs + 16);
   RunAdler ad;
-  scan_coeffs(v, n_coeffs, fc, &ad);
+  scan_coeffs_fast(v, n_coeffs, cs, &ad);
   out->adler = ad.value();
-  fc.freq[256]++;  // EOB
-  emit_token_block(fc, last, &out->data);
+  cs.freq[256]++;  // EOB
+  emit_block_with(cs.freq, cs.dfreq, last, &out->data,
+                  [&](PtrBitWriter& bw, const uint32_t* ll_ent,
+                      const uint16_t* d_codes, const uint8_t* d_lens) {
+                    emit_coeff_tokens(cs.toks, cs.ntok, bw, ll_ent,
+                                      d_codes, d_lens);
+                  });
   // stored fallback if huffman lost (essentially never for coefficient
   // data, but keeps the 4x expansion bound)
   size_t n = n_coeffs * 4;
@@ -1710,9 +1912,9 @@ size_t aej_deflate_bound(size_t len, size_t chunk_size) {
 
 // TEMPORARY benchmark probe: scan-only cost of the sparse16 encoder.
 extern "C" size_t aej_bench_scan16(const int16_t* v, size_t n_coeffs) {
-  TokenRecorder fc;
-  fc.toks = token_scratch(4 * n_coeffs + 64);
+  CoeffScan cs;
+  cs.toks = coeff_token_scratch(2 * n_coeffs + 16);
   RunAdler ad;
-  scan_coeffs(v, n_coeffs, fc, &ad);
-  return fc.ntok + (ad.value() & 1);
+  scan_coeffs_fast(v, n_coeffs, cs, &ad);
+  return cs.ntok + (ad.value() & 1);
 }

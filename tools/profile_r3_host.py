@@ -42,12 +42,14 @@ def main():
     images = (imgs * REPLICATE)[:BATCH * REPLICATE]
     cfg = CodecConfig("YCoCg", (20, 80), (4, 64), entropy_level=-1)
 
-    # full encode once to warm; then time assemble via encode_batch timings
-    t = {}
-    be.encode_batch(images, cfg)
-    for _ in range(REPS):
-        be.encode_batch(images, cfg, timings=t)
-    print({k: round(v / REPS * 1e3, 1) for k, v in t.items()}, "(CPU device)")
+    # full encode once to warm; optionally time assemble via encode_batch
+    if os.environ.get("AEJ_PROFILE_FULL"):
+        t = {}
+        be.encode_batch(images, cfg)
+        for _ in range(REPS):
+            be.encode_batch(images, cfg, timings=t)
+        print({k: round(v / REPS * 1e3, 1) for k, v in t.items()},
+              "(CPU device)")
 
     # rebuild the per-task raw streams with the numpy oracle gather
     b = len(images)
