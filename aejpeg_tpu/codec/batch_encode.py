@@ -60,21 +60,24 @@ def _pool_any(mask: jnp.ndarray, factor: int) -> jnp.ndarray:
         axis=(1, 3))
 
 
-_INV255_HI = np.float32(1.0 / 255.0)
-_INV255_LO = np.float32(1.0 / 255.0 - np.float64(np.float32(1.0 / 255.0)))
 _BIT_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.uint32)
 
 
 @jax.jit
 def _u8_to_unit_float(batch: jnp.ndarray) -> jnp.ndarray:
     """uint8 -> float32/255, bit-identical to the host loader's
-    x.astype(f32)/255 over all 256 inputs (exhaustively tested).
+    x.astype(f32)/255 over all 256 inputs (exhaustively tested, and
+    TPU-tested in tests/tpu/test_identity.py).
 
-    XLA's compiled f32 divide is not correctly rounded (126/256 values are
-    1 ulp off vs numpy), so divide via the double-float32 reciprocal:
-    x*hi + x*lo compensates the representation error of 1/255."""
-    x = batch.astype(jnp.float32)
-    return x * _INV255_HI + x * _INV255_LO
+    Neither XLA's divide nor a double-float32 compensated reciprocal is
+    correctly rounded here: under --xla_allow_excess_precision=true (forced
+    by this harness) the compiler contracts x*hi + x*lo and 126/256 values
+    come out 1 ulp off, which silently broke batch-vs-single container
+    byte identity on TPU through round 3.  A 256-entry table of the exact
+    host values gathered per element (Pallas lane gather) is exact by
+    construction and costs ~5 VPU ops/element."""
+    from ..ops.pallas_kernels import u8_to_unit_exact
+    return u8_to_unit_exact(batch)
 
 
 @functools.partial(jax.jit, static_argnames=("space", "layer_shapes",
@@ -93,8 +96,8 @@ def _stage_a(batch: jnp.ndarray, space: str,
     uint8 input (4x smaller upload) — the on-device /255 is bit-identical
     to the host loader."""
     if batch.dtype == jnp.uint8:
-        x = batch.astype(jnp.float32)
-        batch = x * _INV255_HI + x * _INV255_LO
+        from ..ops.pallas_kernels import u8_to_unit_exact
+        batch = u8_to_unit_exact(batch)
     mids, scales = color.normalization_constants(space)
     converted = color.convert("sRGB", space, batch)
     b = batch.shape[0]

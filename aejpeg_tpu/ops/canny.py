@@ -93,17 +93,36 @@ def _clahe_tile_weights(h: int, w: int, th: int, tw: int, gh: int,
     return wts.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _clahe_interp_vectors(h: int, w: int, th: int, tw: int, gh: int,
+                          gw: int):
+    """Per-axis interpolation vectors for the gather kernel, same f64->f32
+    derivation as _clahe_tile_weights: clamped left/right tile-column
+    indices + fractional weights per x, fractional weights per y."""
+    tx = np.arange(w, dtype=np.float64) / tw - 0.5
+    x0f = np.floor(tx).astype(np.int64)
+    xa = (tx - x0f).astype(np.float32)
+    ix0 = np.clip(x0f, 0, gw - 1).astype(np.int32).reshape(1, w)
+    ix1 = np.clip(x0f + 1, 0, gw - 1).astype(np.int32).reshape(1, w)
+    ty = np.arange(h, dtype=np.float64) / th - 0.5
+    ya = (ty - np.floor(ty)).astype(np.float32).reshape(h, 1)
+    return (ix0, ix1, xa.reshape(1, w), (1 - xa).reshape(1, w),
+            ya, (1 - ya).astype(np.float32))
+
+
 def clahe(img_u8: jnp.ndarray, clip_limit: float = 0.75,
           grid=(4, 4)) -> jnp.ndarray:
     """OpenCV-style CLAHE on uint8: pad to tile multiple (BORDER_REFLECT_101),
     per-tile clipped-histogram LUTs, bilinear LUT interpolation.
 
-    TPU path: the per-pixel LUT lookup is a one-hot (HW, 256) bf16 matmul
-    against the (256, T) LUT matrix (MXU) followed by the precomputed
-    bilinear tile-weight contraction — per-lane gathers are ~50x slower.
-    Both are fused into one Pallas kernel so the one-hot tensor never
-    reaches HBM."""
-    from .pallas_kernels import clahe_lut_apply
+    TPU path: the 4 tile-column LUTs of each tile row pack into int32 words
+    (one byte per column) and the per-pixel lookup rides Mosaic's 128-lane
+    dynamic gather — ~25 VPU ops/pixel, no MXU (pallas_kernels
+    clahe_apply_gather; 5.5x the one-hot matmul kernel it replaces, which
+    remains the fallback for shapes that can't band by half-tiles).
+    Rounding is cvRound (half-to-even), matching OpenCV's saturate_cast."""
+    from .pallas_kernels import (clahe_apply_gather, clahe_gather_supported,
+                                 clahe_lut_apply)
     h, w = img_u8.shape
     gh, gw = grid
     th = -(-h // gh)
@@ -111,6 +130,16 @@ def clahe(img_u8: jnp.ndarray, clip_limit: float = 0.75,
     ph, pw = th * gh - h, tw * gw - w
     padded = _reflect101_pad(img_u8, 0, ph, 0, pw)
     luts = _clahe_luts(padded, th, tw, gh, gw, clip_limit)   # (gh, gw, 256)
+
+    if clahe_gather_supported(h, w, th, gh, gw):
+        li = luts.astype(jnp.int32)
+        words = (li[:, 0] | (li[:, 1] << 8) | (li[:, 2] << 16)
+                 | (li[:, 3] << 24))                          # (gh, 256)
+        vecs = [jnp.asarray(a)
+                for a in _clahe_interp_vectors(h, w, th, tw, gh, gw)]
+        out = clahe_apply_gather(img_u8.astype(jnp.int32), words, *vecs,
+                                 th=th, gh=gh)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
 
     lut_mat = luts.reshape(gh * gw, 256).T.astype(jnp.bfloat16)  # exact <=255
     wts = jnp.asarray(_clahe_tile_weights(h, w, th, tw, gh, gw))

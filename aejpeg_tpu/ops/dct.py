@@ -7,7 +7,12 @@ matrix matches OpenCV's definition:
     D[k, n] = a_k * cos(pi * (2n + 1) * k / (2N)),
     a_0 = sqrt(1/N), a_k = sqrt(2/N).
 Matrices are computed in float64 on host and cast once, and matmuls run at
-HIGHEST precision so f32 accuracy survives the MXU.
+HIGHEST precision so f32 accuracy survives the MXU.  (Round 4 measured the
+bf16x3 "high" alternative: it saves only ~1.5 ms of the 17 ms stage-B wall
+on a 42-image batch — the stage is layout/bandwidth-bound, not
+matmul-bound — and the dense (p,gh,s,gw,s) and per-block (N,s,s) layouts
+STOP being bit-identical to each other at X3 on TPU, which would break the
+batch-vs-single container byte-identity guarantee.  Not worth it.)
 
 The separable two-matmul form is used for EVERY size and layout: it is
 bit-identical between the per-block (N, s, s) layout and the dense

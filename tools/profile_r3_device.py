@@ -70,8 +70,8 @@ def main():
 
     @jax.jit
     def to_layers(x):
-        xf = x.astype(jnp.float32)
-        xf = xf * be._INV255_HI + xf * be._INV255_LO
+        from aejpeg_tpu.ops.pallas_kernels import u8_to_unit_exact
+        xf = u8_to_unit_exact(x)
         conv = color.convert("sRGB", cfg.color_space, xf)
         return [resize.resize2d(conv[..., i], tuple(layer_shapes[i]), "area")
                 for i in range(3)]
