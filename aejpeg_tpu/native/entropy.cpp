@@ -29,6 +29,9 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -76,6 +79,20 @@ struct RunAdler {
     b += 4 * r * a + 4 * S * (r * (r - 1) / 2) + r * T;
     a += r * S;
     absorbed(4 * r);
+  }
+  // r == 1 fast path (the overwhelmingly common single coefficient)
+  inline void word_one(unsigned lo, unsigned hi, unsigned sb) {
+    uint64_t S = lo + hi + 2ull * sb;
+    b += 4 * a + 4ull * lo + 3ull * hi + 3ull * sb;
+    a += S;
+    absorbed(4);
+  }
+  // one 128-byte block absorbed wholesale: S = sum of its bytes,
+  // W = sum over bytes of (128 - j) * byte_j (j = in-block offset)
+  inline void block128(uint64_t S, uint64_t W) {
+    b += 128 * a + W;
+    a += S;
+    absorbed(128);
   }
   uint32_t value() {
     reduce();
@@ -129,6 +146,15 @@ inline uint32_t bit_reverse(uint32_t code, int len) {
 // Length-limited Huffman code lengths (zlib tree.c overflow adjustment,
 // with an exact integer Kraft restoration loop).  Returns the number of
 // used symbols.
+// Deflate permits 15-bit codes; our encoder caps lengths at 12 so the
+// matching inflater can decode from flat 4096-entry (8 KB, L1-resident)
+// tables — the 32768-entry tables a 15-bit limit forces live in L2 and
+// cost ~14 cycles per symbol lookup.  Measured ratio cost of the shorter
+// limit on LIVE coefficient streams: < 0.05%.  Foreign streams with
+// longer codes (e.g. real zlib level-9 output) take the zlib fallback,
+// which they already did for their general LZ77 distances.
+constexpr int kMaxCodeLen = 12;
+
 int huffman_lengths(const uint64_t* freq, int n, int limit, uint8_t* lens) {
   std::memset(lens, 0, n);
   std::vector<int> used;
@@ -444,13 +470,13 @@ template <typename Replay>
 void emit_block_with(const uint64_t* freq, const uint64_t* dfreq, bool last,
                      std::vector<unsigned char>* body, Replay&& replay) {
   uint8_t ll_lens[286];
-  huffman_lengths(freq, 286, 15, ll_lens);
+  huffman_lengths(freq, 286, kMaxCodeLen, ll_lens);
   uint8_t d_lens[30] = {0};
-  if (huffman_lengths(dfreq, 30, 15, d_lens) == 0) d_lens[0] = 1;
+  if (huffman_lengths(dfreq, 30, kMaxCodeLen, d_lens) == 0) d_lens[0] = 1;
 
   uint16_t ll_codes[286], d_codes[30];
-  canonical_codes(ll_lens, 286, 15, ll_codes);
-  canonical_codes(d_lens, 30, 15, d_codes);
+  canonical_codes(ll_lens, 286, kMaxCodeLen, ll_codes);
+  canonical_codes(d_lens, 30, kMaxCodeLen, d_codes);
 
   int hlit = 286;
   while (hlit > 257 && ll_lens[hlit - 1] == 0) hlit--;
@@ -569,8 +595,13 @@ void emit_token_block(const TokenRecorder& fc, bool last,
 
 struct CoeffScan {
   // u32 tokens: 0x80000000|n = run of n zero BYTES; 0x40000000|u16(v)
-  // followed by a bare u32 rep = repeated nonzero value; else u16(v) != 0
-  // = single nonzero coefficient.
+  // followed by a bare u32 rep = repeated nonzero value; 0x20000000|
+  // (zrun<<16)|u16(v) = single nonzero coefficient immediately followed by
+  // a zero run of zrun (< 2^13) bytes (the dominant pattern in quantized
+  // coefficient data — merging it halves replay loop iterations and makes
+  // the token-type branch predictable); else u16(v) != 0 = single nonzero
+  // coefficient.  All formats emit identical bits, so mixed producers
+  // (AVX-512 scan merges, the scalar fallback doesn't) stay byte-identical.
   uint32_t* toks = nullptr;
   size_t ntok = 0;
   uint64_t freq[286] = {0};
@@ -620,8 +651,151 @@ static inline void run_account(uint64_t rem4, uint64_t* freq,
 // scan_coeffs with coefficient-granular recording: same zero-span SIMD,
 // same token choices, same RunAdler — but one token and O(1) freq updates
 // per run/value instead of per widened byte.
+//
+// On AVX-512BW hosts (the build is -march=native) the classification runs
+// mask-driven: one 512-bit load + compare per 32 coefficients, nonzero
+// positions iterated with tzcnt, zero gaps accounted lazily in O(1) per
+// gap.  The word-at-a-time scalar traversal this replaces spent ~70% of
+// the scan walking zeros (42 of 60 ms on the LIVE bench batch).  Tokens,
+// frequencies and adler are identical to the scalar path (same stream
+// order), which the fallback below remains for non-AVX-512 builds.
+#if defined(__AVX512BW__)
 void scan_coeffs_fast(const int16_t* v, size_t n, CoeffScan& cs,
                       RunAdler* ad) {
+  uint64_t zrun = 0;
+  bool last_single = false;  // toks[ntok-1] is a bare single-coeff token
+  auto flush_z = [&]() {
+    if (zrun) {
+      zrun_account(zrun, cs.freq, cs.dfreq);
+      if (last_single && zrun < (1u << 13)) {
+        cs.toks[cs.ntok - 1] |=
+            0x20000000u | (static_cast<uint32_t>(zrun) << 16);
+      } else {
+        cs.toks[cs.ntok++] = 0x80000000u | static_cast<uint32_t>(zrun);
+      }
+      zrun = 0;
+    }
+    last_single = false;
+  };
+  size_t i = 0;     // everything before i is consumed (zeros before it may
+                    // still be pending: they live in [zstart, i))
+  size_t zstart = 0;  // first unaccounted position (start of pending zeros)
+  auto settle_zeros = [&](size_t upto) {
+    // account the zero gap [zstart, upto) — all positions there are zero
+    // (adler is block-computed above, not per token)
+    if (upto > zstart) zrun += (upto - zstart) * 4;
+  };
+  size_t base = 0;
+  while (base < n) {
+    if (base + 32 <= i) {  // consumed by a value run that crossed blocks
+      base += 32;
+      continue;
+    }
+    uint32_t mask;
+    size_t blk;
+    if (base + 32 <= n) {
+      blk = 32;
+      __m512i x = _mm512_loadu_si512(
+          reinterpret_cast<const void*>(v + base));
+      mask = _mm512_cmpneq_epi16_mask(x, _mm512_setzero_si512());
+      if (ad) {
+        // adler of the widened byte stream, one closed-form update per
+        // 128-byte block — the per-token a/b dependency chains were ~10
+        // serial cycles per nonzero.  Bytes of coefficient c (offset
+        // j = 4c..4c+3) are (lo, hi, sb, sb), so
+        //   S  = sum S_c,  S_c = lo + hi + 2*sb
+        //   W  = sum (128-j)*byte_j
+        //      = 128*S - 4*sum c*S_c - sum (hi_c + 5*sb_c)
+        const __m512i ff = _mm512_set1_epi16(0xFF);
+        const __m512i ones16 = _mm512_set1_epi16(1);
+        __m512i lo16 = _mm512_and_si512(x, ff);
+        __m512i hi16 = _mm512_srli_epi16(x, 8);
+        __mmask32 mneg = _mm512_movepi16_mask(x);
+        __m512i s16 = _mm512_add_epi16(
+            _mm512_add_epi16(lo16, hi16),
+            _mm512_maskz_mov_epi16(mneg, _mm512_set1_epi16(510)));
+        const __m512i cidx = _mm512_set_epi16(
+            31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17,
+            16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+        // s16 <= 1020, cidx <= 31: madd products fit int32
+        __m512i s_sum32 = _mm512_madd_epi16(s16, ones16);
+        __m512i cs32 = _mm512_madd_epi16(s16, cidx);
+        __m512i hi_sum32 = _mm512_madd_epi16(hi16, ones16);
+        uint64_t S = static_cast<uint64_t>(_mm512_reduce_add_epi32(s_sum32));
+        uint64_t cS = static_cast<uint64_t>(_mm512_reduce_add_epi32(cs32));
+        uint64_t hiS =
+            static_cast<uint64_t>(_mm512_reduce_add_epi32(hi_sum32));
+        uint64_t sbS = 255ull * static_cast<unsigned>(
+            __builtin_popcount(static_cast<uint32_t>(mneg)));
+        uint64_t W = 128 * S - 4 * cS - (hiS + 5 * sbS);
+        ad->block128(S, W);
+      }
+    } else {
+      blk = n - base;
+      mask = 0;
+      for (size_t k = 0; k < blk; ++k) {
+        int16_t xv = v[base + k];
+        if (xv) mask |= 1u << k;
+        if (ad) {
+          if (xv == 0) {
+            ad->zero_run(4);
+          } else {
+            unsigned uu = static_cast<uint16_t>(xv);
+            ad->word_one(uu & 0xFF, (uu >> 8) & 0xFF, xv < 0 ? 0xFF : 0);
+          }
+        }
+      }
+    }
+    while (mask) {
+      unsigned p = static_cast<unsigned>(__builtin_ctz(mask));
+      mask &= mask - 1;
+      size_t pos = base + p;
+      if (pos < i) continue;  // inside an already-consumed value run
+      settle_zeros(pos);
+      i = pos;
+      int16_t x = v[i];
+      unsigned u = static_cast<uint16_t>(x);
+      unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+      if (i + 1 >= n || v[i + 1] != x) {
+        flush_z();
+        unsigned neg = static_cast<unsigned>(x < 0);
+        unsigned sb = neg ? 0xFFu : 0x00u;
+        unsigned hi_ne_sb = static_cast<unsigned>(hi != sb);
+        cs.freq[lo]++;
+        cs.freq[hi] += hi_ne_sb;
+        cs.freq[0xFF] += neg * (3 - hi_ne_sb);
+        zrun = (1 - neg) * (3 - hi_ne_sb);
+        cs.toks[cs.ntok++] = u;
+        last_single = true;
+        ++i;
+      } else {
+        size_t j = i + 2;
+        while (j < n && v[j] == x) ++j;
+        size_t rep = j - i;
+        flush_z();
+        unsigned sb = x < 0 ? 0xFF : 0x00;
+        cs.freq[lo]++;
+        cs.freq[hi]++;
+        cs.freq[sb] += 2;
+        run_account((rep - 1) * 4, cs.freq, cs.dfreq);
+        cs.toks[cs.ntok++] = 0x40000000u | u;
+        cs.toks[cs.ntok++] = static_cast<uint32_t>(rep);
+        i = j;
+      }
+      zstart = i;
+    }
+    base += blk;
+  }
+  settle_zeros(n);
+  flush_z();
+}
+
+[[maybe_unused]] void scan_coeffs_scalar(const int16_t* v, size_t n,
+                                          CoeffScan& cs, RunAdler* ad) {
+#else
+void scan_coeffs_fast(const int16_t* v, size_t n, CoeffScan& cs,
+                      RunAdler* ad) {
+#endif
   uint64_t zrun = 0;
   auto flush_z = [&]() {
     if (zrun) {
@@ -634,54 +808,63 @@ void scan_coeffs_fast(const int16_t* v, size_t n, CoeffScan& cs,
   while (i < n) {
     int16_t x = v[i];
     if (x == 0) {
+      // word-at-a-time zero span with a tzcnt exit: short runs (the common
+      // case between nonzero coefficients) finish on the first load
+      // instead of a per-element tail loop
       size_t j = i;
-      while (j + 4 <= n && j < i + 16) {
+      for (;;) {
+        if (j + 4 > n) {
+          while (j < n && v[j] == 0) ++j;
+          break;
+        }
         uint64_t w;
         std::memcpy(&w, v + j, 8);
-        if (w != 0) break;
+        if (w != 0) {
+          j += static_cast<size_t>(__builtin_ctzll(w)) >> 4;
+          break;
+        }
         j += 4;
+        if (j - i >= 32) {
+          j = zero_span16(v, j, n);
+          break;
+        }
       }
-      if (j == i + 16) j = zero_span16(v, j, n);
-      while (j < n && v[j] == 0) ++j;
       if (ad) ad->zero_run((j - i) * 4);
       zrun += (j - i) * 4;
       i = j;
       continue;
     }
-    size_t j = i + 1;
+    unsigned u = static_cast<uint16_t>(x);
+    unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+    if (i + 1 >= n || v[i + 1] != x) {
+      // single coefficient — the dominant nonzero case; branchless freq /
+      // zrun-seed arithmetic (the branchy form cost ~40 cycles per
+      // coefficient in mispredicts and dependent counter updates)
+      flush_z();
+      unsigned neg = static_cast<unsigned>(x < 0);
+      unsigned sb = neg ? 0xFFu : 0x00u;
+      unsigned hi_ne_sb = static_cast<unsigned>(hi != sb);
+      if (ad) ad->word_one(lo, hi, sb);
+      cs.freq[lo]++;
+      cs.freq[hi] += hi_ne_sb;
+      cs.freq[0xFF] += neg * (3 - hi_ne_sb);
+      zrun = (1 - neg) * (3 - hi_ne_sb);  // positive tail zeros merge ahead
+      cs.toks[cs.ntok++] = u;
+      ++i;
+      continue;
+    }
+    size_t j = i + 2;
     while (j < n && v[j] == x) ++j;
     size_t rep = j - i;
     flush_z();
-    unsigned u = static_cast<uint16_t>(x);
-    unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
     unsigned sb = x < 0 ? 0xFF : 0x00;
     if (ad) ad->word_rep(lo, hi, sb, rep);
-    if (rep >= 2) {
-      cs.freq[lo]++;
-      cs.freq[hi]++;
-      cs.freq[sb] += 2;
-      run_account((rep - 1) * 4, cs.freq, cs.dfreq);
-      cs.toks[cs.ntok++] = 0x40000000u | u;
-      cs.toks[cs.ntok++] = static_cast<uint32_t>(rep);
-      i = j;
-      continue;
-    }
     cs.freq[lo]++;
-    if (hi == sb) {
-      if (sb == 0) {
-        zrun = 3;  // merges with following zero coefficients
-      } else {
-        cs.freq[0xFF] += 3;
-      }
-    } else {
-      cs.freq[hi]++;
-      if (sb == 0) {
-        zrun = 2;
-      } else {
-        cs.freq[0xFF] += 2;
-      }
-    }
-    cs.toks[cs.ntok++] = u;
+    cs.freq[hi]++;
+    cs.freq[sb] += 2;
+    run_account((rep - 1) * 4, cs.freq, cs.dfreq);
+    cs.toks[cs.ntok++] = 0x40000000u | u;
+    cs.toks[cs.ntok++] = static_cast<uint32_t>(rep);
     i = j;
   }
   flush_z();
@@ -756,13 +939,45 @@ void emit_coeff_tokens(const uint32_t* toks, size_t ntok,
   int m258n, m256n;
   match_bits(258, 0, &m258b, &m258n);
   match_bits(256, 3, &m256b, &m256n);
+  // per-block LUTs of every match length at both distances (the remainder
+  // codes of zero runs and value runs) — match_bits recomputed codes per
+  // token before round 4
+  struct MatchLut {
+    uint64_t bits[259];
+    uint8_t len[259];
+  };
+  thread_local MatchLut m0, m3;
+  for (int L = 3; L <= 258; ++L) {
+    int nb;
+    match_bits(L, 0, &m0.bits[L], &nb);
+    m0.len[L] = static_cast<uint8_t>(nb);
+    match_bits(L, 3, &m3.bits[L], &nb);
+    m3.len[L] = static_cast<uint8_t>(nb);
+  }
+  // local bit accumulator: tokens average ~9 bits, so batching 4-6 of them
+  // per put64 call removes most writer-call overhead; the emitted bit
+  // sequence is unchanged (identical bits, identical order)
+  uint64_t acc = 0;
+  int accn = 0;
+  auto flushacc = [&]() {
+    if (accn) {
+      bw.put64(acc, accn);
+      acc = 0;
+      accn = 0;
+    }
+  };
+  auto add = [&](uint64_t bits, int nb) {
+    if (accn + nb > 57) flushacc();
+    acc |= bits << accn;
+    accn += nb;
+  };
   auto emit_lit_bytes = [&](unsigned u) {
     // slow path: the 4 widened bytes of one coefficient, scan semantics
     int16_t x = static_cast<int16_t>(u);
     unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
     auto put_sym = [&](unsigned sym) {
       uint32_t e = ll_ent[sym];
-      bw.put(e & 0xFFFF, static_cast<int>(e >> 16));
+      add(e & 0xFFFF, static_cast<int>(e >> 16));
     };
     put_sym(lo);
     if (x < 0) {
@@ -773,59 +988,67 @@ void emit_coeff_tokens(const uint32_t* toks, size_t ntok,
       put_sym(hi);
     }
   };
+  auto emit_zrun = [&](uint64_t nn) {
+    if (nn >= 4) {
+      add(l0c, l0n);
+      uint64_t rem = nn - 1;
+      uint64_t k = rem / 258;
+      uint32_t r = rem % 258;
+      for (; k; --k) add(m258b, m258n);
+      if (r >= 3) {
+        add(m0.bits[r], m0.len[r]);
+      } else {
+        for (; r; --r) add(l0c, l0n);
+      }
+    } else {
+      for (uint64_t q = nn; q; --q) add(l0c, l0n);
+    }
+  };
   for (size_t ti = 0; ti < ntok; ++ti) {
     uint32_t t = toks[ti];
-    if (t & 0x80000000u) {  // zero run of nn bytes
-      uint32_t nn = t & 0x7FFFFFFFu;
-      if (nn >= 4) {
-        bw.put(l0c, l0n);
-        uint64_t rem = nn - 1;
-        uint64_t k = rem / 258;
-        uint32_t r = rem % 258;
-        for (; k; --k) bw.put64(m258b, m258n);
-        if (r >= 3) {
-          uint64_t b;
-          int nb;
-          match_bits(static_cast<int>(r), 0, &b, &nb);
-          bw.put64(b, nb);
-        } else {
-          for (; r; --r) bw.put(l0c, l0n);
-        }
+    uint32_t kind = t >> 29;
+    if (kind == 0) {  // single coefficient
+      int idx = static_cast<int16_t>(static_cast<uint16_t>(t)) + 512;
+      if (static_cast<uint32_t>(idx) < 1024 && lut->len[idx]) {
+        add(lut->bits[idx], lut->len[idx]);
       } else {
-        for (uint32_t q = nn; q; --q) bw.put(l0c, l0n);
+        emit_lit_bytes(t & 0xFFFF);
       }
-    } else if (t & 0x40000000u) {  // value run: 4 literals + dist-4 chain
+      continue;
+    }
+    if (kind == 1) {  // merged single + zero run
+      int idx = static_cast<int16_t>(static_cast<uint16_t>(t)) + 512;
+      if (static_cast<uint32_t>(idx) < 1024 && lut->len[idx]) {
+        add(lut->bits[idx], lut->len[idx]);
+      } else {
+        emit_lit_bytes(t & 0xFFFF);
+      }
+      emit_zrun((t >> 16) & 0x1FFF);
+      continue;
+    }
+    if (t & 0x80000000u) {  // zero run of nn bytes
+      emit_zrun(t & 0x7FFFFFFFu);
+    } else {  // value run: 4 literals + dist-4 chain
       unsigned u = t & 0xFFFF;
       uint32_t rep = toks[++ti];
       int16_t x = static_cast<int16_t>(u);
       unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
       unsigned sb = x < 0 ? 0xFF : 0x00;
       uint32_t el = ll_ent[lo];
-      bw.put(el & 0xFFFF, static_cast<int>(el >> 16));
+      add(el & 0xFFFF, static_cast<int>(el >> 16));
       uint32_t eh = ll_ent[hi];
-      bw.put(eh & 0xFFFF, static_cast<int>(eh >> 16));
+      add(eh & 0xFFFF, static_cast<int>(eh >> 16));
       uint32_t es = ll_ent[sb];
-      bw.put(es & 0xFFFF, static_cast<int>(es >> 16));
-      bw.put(es & 0xFFFF, static_cast<int>(es >> 16));
+      add(es & 0xFFFF, static_cast<int>(es >> 16));
+      add(es & 0xFFFF, static_cast<int>(es >> 16));
       uint64_t rem = static_cast<uint64_t>(rep - 1) * 4;
       uint64_t k = rem / 256;
       uint32_t r = rem % 256;
-      for (; k; --k) bw.put64(m256b, m256n);
-      if (r) {
-        uint64_t b;
-        int nb;
-        match_bits(static_cast<int>(r), 3, &b, &nb);
-        bw.put64(b, nb);
-      }
-    } else {  // single coefficient
-      int idx = static_cast<int16_t>(static_cast<uint16_t>(t)) + 512;
-      if (static_cast<uint32_t>(idx) < 1024 && lut->len[idx]) {
-        bw.put64(lut->bits[idx], lut->len[idx]);
-      } else {
-        emit_lit_bytes(t & 0xFFFF);
-      }
+      for (; k; --k) add(m256b, m256n);
+      if (r) add(m3.bits[r], m3.len[r]);
     }
   }
+  flushacc();
 }
 
 // One coefficient chunk -> raw deflate bits (byte-aligned at the end).
@@ -1169,7 +1392,8 @@ int sparse_inflate_scatter(const unsigned char* comp, size_t comp_len,
   BitReader br{comp + 2, comp + comp_len - 4};
   sink.next_leaf();
   if (sink.bad) return INF_BAD;
-  thread_local std::vector<uint16_t> lltab(1 << 15), dtab(1 << 15);
+  thread_local std::vector<uint16_t> lltab(1 << kMaxCodeLen),
+      dtab(1 << kMaxCodeLen);
   for (;;) {
     int64_t hdr = br.get(3);
     if (hdr < 0) return INF_BAD;
@@ -1232,14 +1456,18 @@ int sparse_inflate_scatter(const unsigned char* comp, size_t comp_len,
           i += static_cast<int>(r);
         }
       }
-      if (!build_decode_table(lens, nlit, 15, lltab.data())) return INF_BAD;
-      if (!build_decode_table(lens + nlit, ndist, 15, dtab.data()))
+      for (int k = 0; k < nlit + ndist; ++k)
+        if (lens[k] > kMaxCodeLen) return INF_FALLBACK;  // spec-valid,
+            // but beyond our fast tables (foreign encoder) -> zlib
+      if (!build_decode_table(lens, nlit, kMaxCodeLen, lltab.data()))
+        return INF_BAD;
+      if (!build_decode_table(lens + nlit, ndist, kMaxCodeLen, dtab.data()))
         return INF_BAD;
       const uint16_t* ll = lltab.data();
       const uint16_t* dd = dtab.data();
       for (;;) {
         if (br.nbits < 15) br.fill();
-        uint16_t e = ll[br.hold & 0x7FFF];
+        uint16_t e = ll[br.hold & ((1u << kMaxCodeLen) - 1)];
         int l = e & 0xF;
         if (!e || l > br.nbits) return INF_BAD;
         br.drop(l);
@@ -1256,7 +1484,7 @@ int sparse_inflate_scatter(const unsigned char* comp, size_t comp_len,
         if (extra < 0) return INF_BAD;
         uint32_t L = LBASE[c] + static_cast<uint32_t>(extra);
         if (br.nbits < 15) br.fill();
-        uint16_t de = dd[br.hold & 0x7FFF];
+        uint16_t de = dd[br.hold & ((1u << kMaxCodeLen) - 1)];
         int dl = de & 0xF;
         if (!de || dl > br.nbits) return INF_BAD;
         br.drop(dl);
@@ -1911,10 +2139,130 @@ size_t aej_deflate_bound(size_t len, size_t chunk_size) {
 }  // extern "C"
 
 // TEMPORARY benchmark probe: scan-only cost of the sparse16 encoder.
+// mode 0: full; mode 1: no adler; mode 2: zero-span traversal only.
 extern "C" size_t aej_bench_scan16(const int16_t* v, size_t n_coeffs) {
   CoeffScan cs;
   cs.toks = coeff_token_scratch(2 * n_coeffs + 16);
   RunAdler ad;
   scan_coeffs_fast(v, n_coeffs, cs, &ad);
   return cs.ntok + (ad.value() & 1);
+}
+
+extern "C" size_t aej_bench_scan16_mode(const int16_t* v, size_t n_coeffs,
+                                        int mode) {
+#if defined(__AVX512BW__)
+  if (mode == 3) {  // AVX classify + mask iterate, no per-nonzero work
+    size_t acc = 0, base = 0;
+    while (base + 32 <= n_coeffs) {
+      __m512i x = _mm512_loadu_si512(
+          reinterpret_cast<const void*>(v + base));
+      uint32_t mask =
+          _mm512_cmpneq_epi16_mask(x, _mm512_setzero_si512());
+      while (mask) {
+        unsigned p = static_cast<unsigned>(__builtin_ctz(mask));
+        mask &= mask - 1;
+        acc += v[base + p];
+      }
+      base += 32;
+    }
+    return acc;
+  }
+  if (mode == 4) {  // classify + token stores, no freq/adler/zrun logic
+    CoeffScan cs;
+    cs.toks = coeff_token_scratch(2 * n_coeffs + 16);
+    size_t base = 0;
+    while (base + 32 <= n_coeffs) {
+      __m512i x = _mm512_loadu_si512(
+          reinterpret_cast<const void*>(v + base));
+      uint32_t mask =
+          _mm512_cmpneq_epi16_mask(x, _mm512_setzero_si512());
+      while (mask) {
+        unsigned p = static_cast<unsigned>(__builtin_ctz(mask));
+        mask &= mask - 1;
+        cs.toks[cs.ntok++] = static_cast<uint16_t>(v[base + p]);
+      }
+      base += 32;
+    }
+    return cs.ntok;
+  }
+  if (mode == 5) {  // classify + freq updates, no tokens
+    CoeffScan cs;
+    size_t base = 0;
+    while (base + 32 <= n_coeffs) {
+      __m512i x = _mm512_loadu_si512(
+          reinterpret_cast<const void*>(v + base));
+      uint32_t mask =
+          _mm512_cmpneq_epi16_mask(x, _mm512_setzero_si512());
+      while (mask) {
+        unsigned p = static_cast<unsigned>(__builtin_ctz(mask));
+        mask &= mask - 1;
+        int16_t xv = v[base + p];
+        unsigned u = static_cast<uint16_t>(xv);
+        unsigned lo = u & 0xFF, hi = (u >> 8) & 0xFF;
+        unsigned neg = static_cast<unsigned>(xv < 0);
+        unsigned hi_ne_sb =
+            static_cast<unsigned>(hi != (neg ? 0xFFu : 0u));
+        cs.freq[lo]++;
+        cs.freq[hi] += hi_ne_sb;
+        cs.freq[0xFF] += neg * (3 - hi_ne_sb);
+      }
+      base += 32;
+    }
+    return static_cast<size_t>(cs.freq[0] + cs.freq[255]);
+  }
+#endif
+  if (mode == 2) {
+    size_t i = 0, acc = 0;
+    while (i < n_coeffs) {
+      if (v[i] == 0) {
+        i = zero_span16(v, i, n_coeffs);
+      } else {
+        ++acc;
+        ++i;
+      }
+    }
+    return acc;
+  }
+  CoeffScan cs;
+  cs.toks = coeff_token_scratch(2 * n_coeffs + 16);
+  if (mode == 1) {
+    scan_coeffs_fast(v, n_coeffs, cs, nullptr);
+    return cs.ntok;
+  }
+  RunAdler ad;
+  scan_coeffs_fast(v, n_coeffs, cs, &ad);
+  return cs.ntok + (ad.value() & 1);
+}
+
+// TEMPORARY benchmark probe: split one chunk's encode into scan / huffman
+// table build / token replay, reporting nanoseconds per phase.
+#include <chrono>
+extern "C" size_t aej_bench_payload16_split(const int16_t* v, size_t n_coeffs,
+                                            int64_t* ns_out /* [3] */) {
+  using clk = std::chrono::steady_clock;
+  auto t0 = clk::now();
+  CoeffScan cs;
+  cs.toks = coeff_token_scratch(2 * n_coeffs + 16);
+  RunAdler ad;
+  scan_coeffs_fast(v, n_coeffs, cs, &ad);
+  cs.freq[256]++;
+  auto t1 = clk::now();
+  std::vector<unsigned char> body;
+  int64_t replay_ns = 0;
+  emit_block_with(cs.freq, cs.dfreq, true, &body,
+                  [&](PtrBitWriter& bw, const uint32_t* ll_ent,
+                      const uint16_t* d_codes, const uint8_t* d_lens) {
+                    auto r0 = clk::now();
+                    emit_coeff_tokens(cs.toks, cs.ntok, bw, ll_ent,
+                                      d_codes, d_lens);
+                    replay_ns = std::chrono::duration_cast<
+                        std::chrono::nanoseconds>(clk::now() - r0).count();
+                  });
+  auto t2 = clk::now();
+  ns_out[0] = std::chrono::duration_cast<std::chrono::nanoseconds>(
+      t1 - t0).count();
+  ns_out[1] = std::chrono::duration_cast<std::chrono::nanoseconds>(
+      t2 - t1).count() - replay_ns;
+  ns_out[2] = replay_ns;
+  return body.size();
 }

@@ -66,18 +66,23 @@ def build_native() -> bool:
     # place would SIGBUS them)
     src = os.path.join(_DIR, "entropy.cpp")
     tmp = _SO + f".build{os.getpid()}"
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-           "-o", tmp, "-lz", "-lpthread"]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(tmp, _SO)
-        return True
-    except Exception:
+    # -march=native: the library is built at import time on the host it
+    # runs on, so tuning for the local ISA is always safe and measurably
+    # faster (AVX-512 on this harness); fall back to baseline if the
+    # compiler rejects it.
+    for extra in (["-march=native"], []):
+        cmd = (["g++", "-O3", "-shared", "-fPIC", "-std=c++17"] + extra
+               + [src, "-o", tmp, "-lz", "-lpthread"])
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return False
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, _SO)
+            return True
+        except Exception:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:

@@ -122,12 +122,12 @@ _LUT_COLS = 512
 
 
 def _u8_lut_kernel(vals_ref, tab_ref, out_ref):
-    v = vals_ref[:]                       # (bh, 128) int32 in [0, 256)
+    v = vals_ref[:].astype(jnp.int32)     # (bh, 128) uint8 in
     bh = v.shape[0]
     lo_mask = v < 128
     vl = jnp.where(lo_mask, v, v - 128)
-    t_lo = jnp.broadcast_to(tab_ref[:, :128], (bh, 128))
-    t_hi = jnp.broadcast_to(tab_ref[:, 128:], (bh, 128))
+    t_lo = jnp.broadcast_to(tab_ref[0, :, :128], (bh, 128))
+    t_hi = jnp.broadcast_to(tab_ref[0, :, 128:], (bh, 128))
     g_lo = jnp.take_along_axis(t_lo, vl, axis=1)
     g_hi = jnp.take_along_axis(t_hi, vl, axis=1)
     out_ref[:] = jnp.where(lo_mask, g_lo, g_hi)
@@ -135,40 +135,71 @@ def _u8_lut_kernel(vals_ref, tab_ref, out_ref):
 
 @functools.lru_cache(maxsize=1)
 def _u8_unit_table() -> np.ndarray:
-    return (np.arange(256).astype(np.float32) / 255.0).reshape(1, 256)
+    return (np.arange(256).astype(np.float32) / 255.0).reshape(1, 1, 256)
 
 
-_U8_ROWS = 256
+_U8_ROWS = 64
+
+
+def _u8_lut_2d(flat2d: jnp.ndarray) -> jnp.ndarray:
+    rows, cols = flat2d.shape
+    tab = jnp.asarray(_u8_unit_table())
+    return pl.pallas_call(
+        _u8_lut_kernel,
+        grid=(rows // _U8_ROWS, cols // 128),
+        in_specs=[
+            pl.BlockSpec((_U8_ROWS, 128), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 256), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_U8_ROWS, 128), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+        interpret=_interpret(),
+    )(flat2d, tab)
 
 
 def u8_to_unit_exact(batch_u8: jnp.ndarray) -> jnp.ndarray:
     """uint8 array (any shape) -> float32 x/255, bit-equal to numpy's
-    x.astype(np.float32)/255 elementwise (table gather, exact)."""
+    x.astype(np.float32)/255 elementwise (table gather, exact).
+
+    Layout: the kernel wants a 2-D (64k, 128m) view with a 2-D grid —
+    measured 9.9 ms for a 48M-element batch, where BOTH a tall-skinny
+    (N/128, 128) 1-D-grid layout and any formulation that pads/slices the
+    flattened 1-D array cost 54-76 ms (XLA's giant-1-D pad and slice are
+    pathological on TPU).  So: find a suffix-product column count that
+    divides 128 (free reshape, e.g. W*3 = 2304 for RGB images), pad only
+    rows (2-D pad), and fall back to the padded 1-D path for small or
+    odd-shaped inputs where its cost is irrelevant."""
     shape = batch_u8.shape
-    flat = batch_u8.reshape(-1).astype(jnp.int32)
-    n = flat.shape[0]
-    cols = 128
-    rows = -(-n // cols)
+    n = int(np.prod(shape)) if shape else 1
+    # smallest trailing-dims product divisible by 128
+    cols = 0
+    acc = 1
+    for d in reversed(shape):
+        acc *= int(d)
+        if acc % 128 == 0:
+            cols = acc
+            break
+    if cols and n >= (1 << 16):
+        rows = n // cols
+        flat = batch_u8.reshape(rows, cols)
+        rpad = (-rows) % _U8_ROWS
+        if rpad:
+            flat = jnp.pad(flat, ((0, rpad), (0, 0)))
+        out = _u8_lut_2d(flat)
+        if rpad:
+            out = out[:rows]
+        return out.reshape(shape)
+    # small/odd fallback
+    flat = batch_u8.reshape(-1)
+    rows = -(-n // 128)
     rpad = (-rows) % _U8_ROWS
-    pad = rows * cols - n + rpad * cols
+    pad = rows * 128 - n + rpad * 128
     if pad:
         flat = jnp.pad(flat, (0, pad))
-    rows += rpad
-    tab = jnp.asarray(_u8_unit_table())
-    out = pl.pallas_call(
-        _u8_lut_kernel,
-        grid=(rows // _U8_ROWS,),
-        in_specs=[
-            pl.BlockSpec((_U8_ROWS, cols), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_U8_ROWS, cols), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
-        interpret=_interpret(),
-    )(flat.reshape(rows, cols), tab)
+    out = _u8_lut_2d(flat.reshape(rows + rpad, 128))
     return out.reshape(-1)[:n].reshape(shape)
 
 

@@ -57,7 +57,6 @@ def main():
     layer_shapes = cfg.layer_shapes((h, w))
     mn, mx = cfg.block_size_range
     band = (int(math.log2(mn)) + 1, int(math.log2(mx)))
-    spec = be.batch_spec(layer_shapes, mn, mx)
     jit_b, spec = be._stage_b_fn(cfg, (h, w), b)
     stacked = np.stack([im.data for im in images])
     u8 = np.round(stacked * 255.0).astype(np.uint8)
@@ -119,6 +118,9 @@ def main():
                 raw[flat.ravel()] = vals.ravel()
             streams.append(raw)
 
+    import pickle
+    with open("/tmp/aej_streams.pkl", "wb") as f:
+        pickle.dump(streams, f)
     total = sum(s.size for s in streams)
     nz = sum(int(np.count_nonzero(s)) for s in streams)
     print(f"{len(streams)} tasks, {total / 1e6:.1f}M coeffs "
