@@ -18,11 +18,16 @@ class ImageData:
     data: np.ndarray                  # float32 [0,1], (H, W, 3)
     original_shape: Tuple[int, ...]
     extension: Optional[str]
+    # True when `data` is exactly uint8/255 (set by the loader for 8-bit
+    # sources).  Lets encode_batch upload 1 byte/sample without the full
+    # round-trip equality check it otherwise runs; None = unknown (check).
+    u8_exact: Optional[bool] = None
 
     @classmethod
     def load(cls, path: str) -> "ImageData":
         extension = os.path.splitext(path)[1]
-        img = iio.imread(path).astype(np.float32) / 255.0
+        raw = iio.imread(path)
+        img = raw.astype(np.float32) / 255.0
         if img.ndim == 2:
             img = np.stack((img,) * 3, axis=-1)
         elif img.ndim == 3 and img.shape[2] == 3:
@@ -31,7 +36,8 @@ class ImageData:
             img = img[:, :, :3]
         else:
             raise ValueError(f"Unsupported image format: {img.shape}")
-        return cls(img, img.shape, extension)
+        return cls(img, img.shape, extension,
+                   u8_exact=(raw.dtype == np.uint8))
 
     @classmethod
     def from_array(cls, data: np.ndarray,

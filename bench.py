@@ -143,12 +143,59 @@ def main():
     host_busy = plans_host + timings.get("assemble", 0.0)
     del plans
 
-    stream_period = max(device_busy, host_busy)
-    stream_rate = mpix / stream_period
-    print(f"pipelined: device_busy {device_busy:.3f}s, host_busy "
+    model_period = max(device_busy, host_busy)
+    print(f"pipelined model: device_busy {device_busy:.3f}s, host_busy "
           f"{host_busy:.3f}s (plans-DFS {plans_host:.3f} + assemble "
-          f"{timings.get('assemble', 0.0):.3f}) -> steady-state "
-          f"{stream_rate:.1f} Mpix/s", file=sys.stderr)
+          f"{timings.get('assemble', 0.0):.3f}) -> "
+          f"{mpix / model_period:.1f} Mpix/s", file=sys.stderr)
+
+    # ---- MEASURED stream period: actually run the overlap for >=8 warm
+    # batches — device pipeline of batch i dispatched while a worker
+    # thread does the host stages (plans DFS + C++ assemble) of batch i-1,
+    # with per-batch completion timestamps.  This exercises the real
+    # GIL/thread interaction between jit dispatch and the assemble thread
+    # (round 3 only reported the max() model).  Tunnel-only transfers
+    # (image push / dense-table pull at ~25 MB/s vs PCIe) stay excluded:
+    # input is device-resident and the host stages run on tables pulled
+    # once — in production the pull rides PCIe inside the same overlap.
+    from concurrent.futures import ThreadPoolExecutor
+
+    dense_np, slow_np = [], []
+    for gi, (dense_t, slow_t) in enumerate(outs):
+        g = spec.groups[gi]
+        p_ = b * g.n_l
+        dense_np.append([
+            np.ascontiguousarray(np.asarray(dense_t[si])).reshape(
+                p_, (g.ph // s) * (g.pw // s), s * s)
+            for si, s in enumerate(g.sizes)])
+        slow_np.append([
+            np.ascontiguousarray(np.asarray(slow_t[si])).reshape(-1, s * s)
+            for si, s in enumerate(g.sizes)])
+
+    def host_stage():
+        plans2 = be._build_plans(cfg, layer_shapes, levels_bits, band, b)
+        be.assemble_native(cfg, spec, plans2, dense_np, slow_np, b)
+
+    host_stage()   # warm scratch/pages
+    N_STREAM = 10
+    stamps = []
+    with ThreadPoolExecutor(max_workers=1) as hostpool:
+        fut = None
+        for i in range(N_STREAM):
+            outs2, pb2 = device_once()          # dispatch batch i (async)
+            if fut is not None:
+                fut.result()                    # host of batch i-1
+                stamps.append(time.perf_counter())
+            fut = hostpool.submit(host_stage)   # host of batch i
+            be._sync_all((outs2, pb2))          # wait device i
+        fut.result()
+        stamps.append(time.perf_counter())
+    diffs = np.diff(np.asarray(stamps))
+    meas_period = float(np.median(diffs[1:]))   # drop the ramp-up batch
+    stream_rate = mpix / meas_period
+    print(f"measured stream: {len(diffs)} warm periods, median "
+          f"{meas_period * 1e3:.0f} ms (model {model_period * 1e3:.0f} ms)"
+          f" -> {stream_rate:.1f} Mpix/s", file=sys.stderr)
 
     comp_bytes = sum(len(x) for x in blobs)
     ratio = (b * h * w * 3) / comp_bytes
@@ -183,19 +230,23 @@ def main():
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
 
     print(json.dumps({
-        "metric": (f"encode Mpix/s/chip, pipelined steady-state "
-                   f"(LIVE 512x768 x{b} ({BATCH} distinct x{REPLICATE}), "
+        "metric": (f"encode Mpix/s/chip, pipelined steady-state MEASURED "
+                   f"over {len(diffs)} warm stream batches (median period "
+                   f"{meas_period * 1e3:.0f} ms; model max(device "
+                   f"{device_busy * 1e3:.0f} ms, host "
+                   f"{host_busy * 1e3:.0f} ms) = {model_period * 1e3:.0f} "
+                   f"ms; host is plans-DFS + C++ assemble on this 2-core "
+                   f"harness — device-bound on hosts with >=4 cores). "
+                   f"LIVE 512x768 x{b} ({BATCH} distinct x{REPLICATE}), "
                    f"{SPACE} q{QUALITY[0]}-{QUALITY[1]} blocks "
-                   f"{BLOCKS[0]}-{BLOCKS[1]} quadtree; stream overlap of "
-                   f"host entropy/planning with device compute: period = "
-                   f"max(device {device_busy * 1e3:.0f} ms, host "
-                   f"{host_busy * 1e3:.0f} ms)/batch; synchronous batch "
+                   f"{BLOCKS[0]}-{BLOCKS[1]} quadtree; synchronous batch "
                    f"{sync_rate:.1f} Mpix/s; decode steady-state "
                    f"{dec_stream:.1f} / sync {dec_sync:.1f} Mpix/s; "
                    f"p50 single-image encode {p50_ms:.0f} ms; PSNR "
-                   f"{p:.2f} dB, CR {ratio:.1f}x; tunnel transfers "
+                   f"{p:.2f} dB, CR {ratio:.1f}x; tunnel-only transfers "
                    f"excluded: push {timings.get('push', 0):.2f}s + pull "
-                   f"{timings.get('pull', 0):.2f}s/batch)"),
+                   f"{timings.get('pull', 0):.2f}s/batch at ~25 MB/s "
+                   f"(PCIe-class in production)"),
         "value": round(stream_rate, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(stream_rate / TARGET_MPIX_S, 4),

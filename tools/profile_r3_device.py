@@ -82,15 +82,7 @@ def main():
     for i in range(3):
         timeit(f"canny layer {i} {layers[i].shape}", canny_b, layers[i])
 
-    # canny substages
-    from aejpeg_tpu.ops import canny as C
-    lay0 = layers[0]
-    u8l = jax.jit(lambda x: (x * 255.0).astype(jnp.uint8))(lay0)
-    be._sync(u8l)
-    if hasattr(C, "_clahe_u8"):
-        pass
-    names = [n for n in dir(C) if not n.startswith("__")]
-    print("canny module symbols:", [n for n in names if n.startswith("_")][:20])
+    # canny substage timings live in tools/profile_r4_device.py
 
 
 if __name__ == "__main__":
