@@ -135,6 +135,56 @@ def _sharded_decode_cache(cfg: CodecConfig, shape: Tuple[int, int], b: int,
     return sharded_dense_decode_fn(cfg, shape, b, mesh, data_axes)
 
 
+def parse_native_into_tables(payloads, spec, tables, masks, b: int) -> None:
+    """One batched C++ call: per (container, layer) replay the state
+    stream, inflate the coefficient stream and scatter int16 rows into the
+    caller's dense tables/masks.  Raises on malformed containers.  Shared
+    by decode_batch and the bench's measured decode stream."""
+    n_tasks = 3 * b
+    st_ptrs = np.empty(n_tasks, np.uint64)
+    bits_lens = np.empty(n_tasks, np.int64)
+    root_sizes = np.empty(n_tasks, np.int32)
+    comp_ptrs = np.empty(n_tasks, np.uint64)
+    comp_lens = np.empty(n_tasks, np.int64)
+    pws = np.empty(n_tasks, np.int32)
+    phs = np.empty(n_tasks, np.int32)
+    tbl = np.zeros((n_tasks, 8), np.uint64)
+    msk = np.zeros((n_tasks, 8), np.uint64)
+    keep = []   # keep the ctypes views of the payload bytes alive
+    for bi in range(b):
+        for li in range(3):
+            t = bi * 3 + li
+            payload = payloads[bi][li]
+            gi, j = spec.layer_pos[li]
+            g = spec.groups[gi]
+            plane = bi * g.n_l + j
+            sb = ctypes.c_char_p(payload.states_bytes)
+            cb = ctypes.c_char_p(payload.compressed)
+            keep.append((sb, cb))
+            st_ptrs[t] = ctypes.cast(sb, ctypes.c_void_p).value or 0
+            comp_ptrs[t] = ctypes.cast(cb, ctypes.c_void_p).value or 0
+            bits_lens[t] = payload.bits_len
+            root_sizes[t] = payload.root_size
+            comp_lens[t] = len(payload.compressed)
+            pws[t] = g.pw
+            phs[t] = g.ph
+            for si, s in enumerate(g.sizes):
+                k = s.bit_length() - 1
+                arr = tables[gi][si]
+                tbl[t, k] = (arr.ctypes.data
+                             + plane * arr.shape[1] * arr.shape[2] * 2)
+                marr = masks[gi][si]
+                msk[t, k] = marr.ctypes.data + plane * marr.shape[1]
+    done = native_entropy.decode_batch_native(
+        st_ptrs, bits_lens, root_sizes, comp_ptrs, comp_lens, pws, phs,
+        tbl, msk)
+    if done is not None and (done < 0).any():
+        bad = int(np.nonzero(done < 0)[0][0])
+        raise ValueError(f"malformed .ajpg container (image {bad // 3}, "
+                         f"layer {bad % 3})")
+    return done
+
+
 def decode_batch(blobs: List[bytes],
                  timings: Optional[Dict[str, float]] = None,
                  materialize: bool = True, mesh=None, data_axes=None):
@@ -213,49 +263,7 @@ def decode_batch(blobs: List[bytes],
                 for bi in range(b)]
     done = None
     if native_entropy.native_available():
-        n_tasks = 3 * b
-        st_ptrs = np.empty(n_tasks, np.uint64)
-        bits_lens = np.empty(n_tasks, np.int64)
-        root_sizes = np.empty(n_tasks, np.int32)
-        comp_ptrs = np.empty(n_tasks, np.uint64)
-        comp_lens = np.empty(n_tasks, np.int64)
-        pws = np.empty(n_tasks, np.int32)
-        phs = np.empty(n_tasks, np.int32)
-        tbl = np.zeros((n_tasks, 8), np.uint64)
-        msk = np.zeros((n_tasks, 8), np.uint64)
-        keep = []   # keep the ctypes views of the payload bytes alive
-        for bi in range(b):
-            for li in range(3):
-                t = bi * 3 + li
-                payload = payloads[bi][li]
-                gi, j = spec.layer_pos[li]
-                g = spec.groups[gi]
-                plane = bi * g.n_l + j
-                sb = ctypes.c_char_p(payload.states_bytes)
-                cb = ctypes.c_char_p(payload.compressed)
-                keep.append((sb, cb))
-                st_ptrs[t] = ctypes.cast(sb, ctypes.c_void_p).value or 0
-                comp_ptrs[t] = ctypes.cast(cb, ctypes.c_void_p).value or 0
-                bits_lens[t] = payload.bits_len
-                root_sizes[t] = payload.root_size
-                comp_lens[t] = len(payload.compressed)
-                pws[t] = g.pw
-                phs[t] = g.ph
-                for si, s in enumerate(g.sizes):
-                    k = s.bit_length() - 1
-                    arr = tables[gi][si]
-                    tbl[t, k] = (arr.ctypes.data
-                                 + plane * arr.shape[1] * arr.shape[2] * 2)
-                    marr = masks[gi][si]
-                    msk[t, k] = marr.ctypes.data + plane * marr.shape[1]
-        done = native_entropy.decode_batch_native(
-            st_ptrs, bits_lens, root_sizes, comp_ptrs, comp_lens, pws, phs,
-            tbl, msk)
-        if done is not None and (done < 0).any():
-            bad = int(np.nonzero(done < 0)[0][0])
-            raise ValueError(
-                f"malformed .ajpg container (image {bad // 3}, "
-                f"layer {bad % 3})")
+        done = parse_native_into_tables(payloads, spec, tables, masks, b)
 
     if done is None:
         # pure-Python fallback (no native library)

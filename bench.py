@@ -77,6 +77,35 @@ def load_images():
     return (imgs * REPLICATE)[:BATCH * REPLICATE]
 
 
+def _decode_host_parse(blobs, cfg, shape, b, spec):
+    """The decode stream's host stage: container parse + C++ inflate/
+    scatter into (thread-local) dense scratch tables."""
+    import numpy as _np
+    from aejpeg_tpu.io.container import ContainerReader
+    from aejpeg_tpu.native import entropy as native_entropy
+    from aejpeg_tpu.codec.batch_decode import parse_native_into_tables
+    readers = [ContainerReader(bl) for bl in blobs]
+    tables, masks = [], []
+    for gi, g in enumerate(spec.groups):
+        per, mper = [], []
+        for s in g.sizes:
+            gh, gw = g.ph // s, g.pw // s
+            per.append(native_entropy.scratch_view(
+                f"bench_tbl_{gi}_{s}", (b * g.n_l, gh * gw, s * s),
+                _np.int16))
+            m = native_entropy.scratch_view(
+                f"bench_msk_{gi}_{s}", (b * g.n_l, gh * gw), _np.uint8)
+            m[:] = 0
+            mper.append(m)
+        tables.append(per)
+        masks.append(mper)
+    payloads = [[readers[bi].read_layer_raw() for _ in range(3)]
+                for bi in range(b)]
+    parse_native_into_tables(payloads, spec, tables, masks, b)
+    return (tuple(tuple(p) for p in tables),
+            tuple(tuple(p) for p in masks))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -213,9 +242,53 @@ def main():
           f"{ {k: round(v, 3) for k, v in dtim.items()} }", file=sys.stderr)
     dec_sync = mpix / sum(v for k, v in dtim.items()
                           if k not in DEC_TRANSFERS)
-    dec_stream = mpix / max(dtim.get("parse", 0.0), dtim.get("device", 0.0))
-    print(f"decode pipelined: parse {dtim.get('parse', 0):.3f}s, device "
-          f"{dtim.get('device', 0):.3f}s -> steady-state "
+    dec_model = max(dtim.get("parse", 0.0), dtim.get("device", 0.0))
+    print(f"decode pipelined model: parse {dtim.get('parse', 0):.3f}s, "
+          f"device {dtim.get('device', 0):.3f}s -> "
+          f"{mpix / dec_model:.1f} Mpix/s", file=sys.stderr)
+
+    # ---- MEASURED decode stream: host parse (container read + C++
+    # inflate/scatter into fresh scratch) of batch i on a worker thread,
+    # device reconstruction of batch i-1 dispatched from the main thread
+    # on tables pushed once (the tunnel-only table push is excluded like
+    # every pure-tunnel transfer; production pushes ride PCIe inside the
+    # same overlap).
+    # the config decode_batch derives from container metadata (default
+    # entropy level) — hits the warm _stage_d_fn cache entry
+    dcfg = CodecConfig(SPACE, QUALITY, BLOCKS)
+    jit_d, dspec = bd._stage_d_fn(dcfg, (h, w), b)
+    import jax as _jax
+    # one pushed set of tables/masks for the device half
+    host_tables, host_masks = _decode_host_parse(blobs, dcfg, (h, w), b,
+                                                 dspec)
+    tables_dev = _jax.device_put(host_tables)
+    masks_dev = _jax.device_put(host_masks)
+    be._sync_all((tables_dev, masks_dev))
+
+    def dec_device_once():
+        return jit_d(tables_dev, masks_dev)
+
+    def dec_host_once():
+        _decode_host_parse(blobs, cfg, (h, w), b, dspec)
+
+    dec_host_once()
+    stamps = []
+    with ThreadPoolExecutor(max_workers=1) as hostpool:
+        fut = None
+        for i in range(N_STREAM):
+            out_i = dec_device_once()
+            if fut is not None:
+                fut.result()
+                stamps.append(time.perf_counter())
+            fut = hostpool.submit(dec_host_once)
+            be._sync_all(out_i)
+        fut.result()
+        stamps.append(time.perf_counter())
+    ddiffs = np.diff(np.asarray(stamps))
+    dec_period = float(np.median(ddiffs[1:]))
+    dec_stream = mpix / dec_period
+    print(f"decode measured stream: {len(ddiffs)} warm periods, median "
+          f"{dec_period * 1e3:.0f} ms (model {dec_model * 1e3:.0f} ms) -> "
           f"{dec_stream:.1f} Mpix/s", file=sys.stderr)
 
     p = float(psnr_fn(images[0].data, out0))
