@@ -1465,18 +1465,29 @@ int sparse_inflate_scatter(const unsigned char* comp, size_t comp_len,
         return INF_BAD;
       const uint16_t* ll = lltab.data();
       const uint16_t* dd = dtab.data();
+      constexpr uint32_t llmask = (1u << kMaxCodeLen) - 1;
       for (;;) {
-        if (br.nbits < 15) br.fill();
-        uint16_t e = ll[br.hold & ((1u << kMaxCodeLen) - 1)];
-        int l = e & 0xF;
-        if (!e || l > br.nbits) return INF_BAD;
-        br.drop(l);
-        int sym = e >> 4;
-        if (sym < 256) {
+        // literal fastloop: one branchless 8-byte refill guarantees >= 48
+        // bits, i.e. four worst-case 12-bit symbols — decode literals in a
+        // tight sub-loop without per-symbol fill checks (the per-literal
+        // fill-and-dispatch structure dominated the inflate)
+        br.fill();
+        int sym;
+        for (;;) {
+          uint16_t e = ll[br.hold & llmask];
+          int l = e & 0xF;
+          if (!e || l > br.nbits) return INF_BAD;
+          br.drop(l);
+          sym = e >> 4;
+          if (sym >= 256) break;
           sink.byte(static_cast<unsigned>(sym));
           if (sink.bad) return INF_BAD;
-          continue;
+          if (br.nbits < 15) {
+            sym = -1;
+            break;
+          }
         }
+        if (sym < 0) continue;   // refill and keep decoding literals
         if (sym == 256) break;
         int c = sym - 257;
         if (c > 28) return INF_BAD;
