@@ -344,11 +344,47 @@ def _hysteresis(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
     The naive formulation dilates (H, W) bool maps one pixel per iteration:
     at ~1 px/step a long weak chain costs hundreds of full-image passes.
     Bit-packing 32 columns per uint32 word cuts the per-iteration memory
-    traffic 32x (the VPU does the shifts as word ops), which makes the
-    O(chain-length) fixpoint cheap in wall clock."""
+    traffic 32x (the VPU does the shifts as word ops).  Two accelerations
+    on top (any correct fixpoint algorithm yields the identical edge map):
+
+    - in-word horizontal CLOSURE by mask doubling: with mJ = the
+      "J consecutive weak pixels to my left" masks (prefix-AND chain),
+      s |= (s << J) & mJ for J = 1,2,4,8,16 saturates every within-word
+      horizontal run in 5 shift-ANDs, so one iteration crosses a whole
+      horizontal chain instead of one pixel;
+    - 2 propagation sub-steps per while_loop body: the `any` convergence
+      reduction + loop round-trip costs as much as a sub-step, so halving
+      the iteration count nearly halves the wall time.
+    """
     h, w = strong.shape
     s = _pack_bits(strong)
     k = _pack_bits(weak)
+
+    # mask-doubling chains for left (<<) and right (>>) in-word closure
+    m1l = k
+    m2l = m1l & (m1l << 1)
+    m4l = m2l & (m2l << 2)
+    m8l = m4l & (m4l << 4)
+    m16l = m8l & (m8l << 8)
+    m1r = k
+    m2r = m1r & (m1r >> 1)
+    m4r = m2r & (m2r >> 2)
+    m8r = m4r & (m4r >> 4)
+    m16r = m8r & (m8r >> 8)
+
+    def hclose(p):
+        # saturate horizontal weak runs within each 32-px word
+        p |= (p << 1) & m1l
+        p |= (p << 2) & m2l
+        p |= (p << 4) & m4l
+        p |= (p << 8) & m8l
+        p |= (p << 16) & m16l
+        p |= (p >> 1) & m1r
+        p |= (p >> 2) & m2r
+        p |= (p >> 4) & m4r
+        p |= (p >> 8) & m8r
+        p |= (p >> 16) & m16r
+        return p
 
     def hshift(p):
         # pixel-space left/right neighbors within and across words
@@ -356,16 +392,19 @@ def _hysteresis(strong: jnp.ndarray, weak: jnp.ndarray) -> jnp.ndarray:
         right = (p >> 1) | jnp.pad(p, ((0, 0), (0, 1)))[:, 1:] << 31
         return p | left | right
 
-    def body(state):
-        cur, _ = state
+    def step(cur):
         row = hshift(cur)
         grown = row | jnp.pad(row, ((1, 0), (0, 0)))[:-1] \
             | jnp.pad(row, ((0, 1), (0, 0)))[1:]
-        new = (k & grown) | cur
+        return hclose((k & grown) | cur)
+
+    def body(state):
+        cur, _ = state
+        new = step(step(cur))
         return new, jnp.any(new != cur)
 
     final, _ = jax.lax.while_loop(lambda st: st[1], body,
-                                  (s, jnp.asarray(True)))
+                                  (hclose(s) & ~s | s, jnp.asarray(True)))
     return _unpack_bits(final, w)
 
 
