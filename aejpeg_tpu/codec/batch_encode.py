@@ -576,11 +576,15 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
 
     barrier_th = threading.Thread(target=_barrier)
     barrier_th.start()
-    levels_bits = np.asarray(packed_bits)   # blocks on stage A + transfer
-    plans = _build_plans(cfg, layer_shapes, levels_bits, band, b)
-    mark("plans")
-
-    barrier_th.join()
+    try:
+        levels_bits = np.asarray(packed_bits)  # blocks on stage A + transfer
+        plans = _build_plans(cfg, layer_shapes, levels_bits, band, b)
+        mark("plans")
+    finally:
+        # join even when the pull/planning path raises: abandoning the
+        # non-daemon thread would drop its exception and block interpreter
+        # teardown on a hung device (advisor r4)
+        barrier_th.join()
     if barrier_exc:
         raise barrier_exc[0]
     mark("device")

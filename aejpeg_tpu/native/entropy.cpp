@@ -688,6 +688,17 @@ void scan_coeffs_fast(const int16_t* v, size_t n, CoeffScan& cs,
   size_t base = 0;
   while (base < n) {
     if (base + 32 <= i) {  // consumed by a value run that crossed blocks
+      // block128 above only covers blocks the mask loop visits; a block
+      // fully inside a cross-block value run is skipped here, so its 128
+      // widened bytes must still be absorbed or the zlib adler32 trailer
+      // is wrong (strict decoders — zlib, the reference's jpeg.py — then
+      // reject the container).  Every coefficient in it equals the run
+      // value, so the closed-form repeat update covers the whole block.
+      if (ad) {
+        int16_t x = v[base];
+        unsigned u = static_cast<uint16_t>(x);
+        ad->word_rep(u & 0xFF, (u >> 8) & 0xFF, x < 0 ? 0xFFu : 0x00u, 32);
+      }
       base += 32;
       continue;
     }

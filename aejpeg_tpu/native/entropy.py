@@ -6,6 +6,7 @@ threads=1 and chunk >= len it is byte-identical to zlib.compress(level).
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -59,6 +60,27 @@ _TRIED = False
 
 DEFAULT_CHUNK = 1 << 20  # 1 MiB chunks: ~0.1% ratio loss, good parallelism
 
+_ISA_MARKER = _SO + ".isa"
+
+
+def _host_isa_tag() -> str:
+    """Stable fingerprint of the ISA features -march=native compiles for.
+
+    The cached .so is built with -march=native; if the package directory
+    is copied to a host with a different ISA (baked image, NFS checkout),
+    loading the stale .so would SIGILL on the first AVX-512 instruction.
+    gcc's own view of the target is the most faithful fingerprint."""
+    try:
+        out = subprocess.run(
+            ["g++", "-march=native", "-E", "-dM", "-xc++", os.devnull],
+            capture_output=True, timeout=30).stdout
+        feats = sorted(line.split()[1] for line in out.decode().splitlines()
+                       if "__AVX" in line or "__SSE" in line
+                       or "__BMI" in line or "__FMA" in line)
+        return hashlib.sha256(" ".join(feats).encode()).hexdigest()[:16]
+    except Exception:
+        return "unknown"
+
 
 def build_native() -> bool:
     # compile to a temp file and os.replace() it: processes that already
@@ -76,6 +98,11 @@ def build_native() -> bool:
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             os.replace(tmp, _SO)
+            try:
+                with open(_ISA_MARKER, "w") as f:
+                    f.write(_host_isa_tag() if extra else "baseline")
+            except OSError:
+                pass
             return True
         except Exception:
             try:
@@ -95,6 +122,16 @@ def _load() -> Optional[ctypes.CDLL]:
         stale = (not os.path.exists(_SO)
                  or (os.path.exists(src)
                      and os.path.getmtime(src) > os.path.getmtime(_SO)))
+        if not stale:
+            # ISA check: an .so built with -march=native on another host
+            # would SIGILL here; "baseline" builds run anywhere.
+            try:
+                with open(_ISA_MARKER) as f:
+                    marker = f.read().strip()
+                if marker != "baseline" and marker != _host_isa_tag():
+                    stale = True
+            except OSError:
+                stale = True  # no marker: unknown provenance, rebuild
         if stale and not build_native() and not os.path.exists(_SO):
             return None
         try:

@@ -85,6 +85,29 @@ def test_sparse_edge_cases():
         assert zlib.decompress(comp) == data
 
 
+def test_payload16_repeated_runs_valid_zlib():
+    """Regression: a run of >=32 equal nonzero coefficients crossing
+    32-coeff SIMD blocks used to skip those blocks' adler32 absorption,
+    producing a stream strict zlib decoders reject (advisor r4, high).
+    The custom inflater ignored the trailer, so only zlib catches it."""
+    for runlen, start, val in [(64, 10, -7), (100, 0, 300), (33, 31, 5),
+                               (200, 5, -1), (32, 0, 9)]:
+        v = np.zeros(512, dtype=np.int16)
+        v[start:start + runlen] = val
+        comp = ne.payload16(v)
+        assert zlib.decompress(comp) == v.astype("<i4").tobytes()
+    # mixed plane: several cross-block runs interleaved with singles/zeros
+    rng = np.random.default_rng(7)
+    v = np.zeros(4096, dtype=np.int16)
+    v[rng.random(v.size) < 0.1] = 3
+    v[100:180] = -12
+    v[1000:1500] = 77
+    v[3000:3100] = -300
+    for threads in (1, 2):
+        comp = ne.payload16(v, threads=threads)
+        assert zlib.decompress(comp) == v.astype("<i4").tobytes()
+
+
 def test_sparse_huffman_depth_limit():
     """Exponentially skewed frequencies force the depth-15 clamp path."""
     parts = []
