@@ -47,7 +47,10 @@ if os.environ.get("JAX_PLATFORMS"):
 LIVE = "/root/reference/test_images/LIVE_image_quality_assessment_database"
 SPACE = "YCoCg"
 QUALITY = (20, 80)
-BLOCKS = (4, 64)
+# full production block band (BASELINE.json config #5 and the sweep grid
+# both use 4-128; the headline must exercise what the codec ships with)
+BLOCKS = tuple(int(x) for x in
+               os.environ.get("AEJ_BENCH_BLOCKS", "4,128").split(","))
 BATCH = int(os.environ.get("AEJ_BENCH_BATCH", 14))   # distinct 512x768
 REPLICATE = int(os.environ.get("AEJ_BENCH_REPLICATE", 3))
                 # batch = BATCH*REPLICATE images (throughput amortization;
@@ -206,7 +209,10 @@ def main():
         be.assemble_native(cfg, spec, plans2, dense_np, slow_np, b)
 
     host_stage()   # warm scratch/pages
-    N_STREAM = 10
+    # >=15 warm periods: the host stage is noisy on a shared 2-core
+    # harness (±25% run-to-run); median + IQR over a longer stream makes
+    # the headline reproducible instead of a lucky tail (VERDICT r4 #5)
+    N_STREAM = int(os.environ.get("AEJ_BENCH_STREAM", 17))
     stamps = []
     with ThreadPoolExecutor(max_workers=1) as hostpool:
         fut = None
@@ -219,12 +225,17 @@ def main():
             be._sync_all((outs2, pb2))          # wait device i
         fut.result()
         stamps.append(time.perf_counter())
-    diffs = np.diff(np.asarray(stamps))
-    meas_period = float(np.median(diffs[1:]))   # drop the ramp-up batch
+    diffs = np.diff(np.asarray(stamps))[1:]     # drop the ramp-up batch
+    meas_period = float(np.median(diffs))
+    q1, q3 = (float(np.percentile(diffs, 25)),
+              float(np.percentile(diffs, 75)))
     stream_rate = mpix / meas_period
+    rate_iqr = (mpix / q3, mpix / q1)
     print(f"measured stream: {len(diffs)} warm periods, median "
-          f"{meas_period * 1e3:.0f} ms (model {model_period * 1e3:.0f} ms)"
-          f" -> {stream_rate:.1f} Mpix/s", file=sys.stderr)
+          f"{meas_period * 1e3:.0f} ms IQR [{q1 * 1e3:.0f}, {q3 * 1e3:.0f}]"
+          f" (model {model_period * 1e3:.0f} ms)"
+          f" -> {stream_rate:.1f} Mpix/s "
+          f"[{rate_iqr[0]:.1f}, {rate_iqr[1]:.1f}]", file=sys.stderr)
 
     comp_bytes = sum(len(x) for x in blobs)
     ratio = (b * h * w * 3) / comp_bytes
@@ -284,11 +295,14 @@ def main():
             be._sync_all(out_i)
         fut.result()
         stamps.append(time.perf_counter())
-    ddiffs = np.diff(np.asarray(stamps))
-    dec_period = float(np.median(ddiffs[1:]))
+    ddiffs = np.diff(np.asarray(stamps))[1:]
+    dec_period = float(np.median(ddiffs))
+    dq1, dq3 = (float(np.percentile(ddiffs, 25)),
+                float(np.percentile(ddiffs, 75)))
     dec_stream = mpix / dec_period
     print(f"decode measured stream: {len(ddiffs)} warm periods, median "
-          f"{dec_period * 1e3:.0f} ms (model {dec_model * 1e3:.0f} ms) -> "
+          f"{dec_period * 1e3:.0f} ms IQR [{dq1 * 1e3:.0f}, "
+          f"{dq3 * 1e3:.0f}] (model {dec_model * 1e3:.0f} ms) -> "
           f"{dec_stream:.1f} Mpix/s", file=sys.stderr)
 
     p = float(psnr_fn(images[0].data, out0))
@@ -302,20 +316,70 @@ def main():
         lat.append(sum(v for k, v in t1.items() if k not in ENC_TRANSFERS))
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
 
+    # work-only p50: the wall number above still pays per-call tunnel
+    # round-trips inside the 'device' stage (sync barriers at ~26 ms RTT).
+    # Amortize them out: K back-to-back single-image device dispatches with
+    # one sync give the true per-image device time, host stages measured
+    # directly — this is the latency a PCIe-attached host would see
+    # (VERDICT r4 #6 asked for the "~13 ms on PCIe" claim as a number).
+    jit_b1, spec1 = be._stage_b_fn(cfg, (h, w), 1)
+    batch1 = jnp.asarray(u8[:1])
+
+    def device_once_1():
+        gp, pb_ = be._stage_a(batch1, cfg.color_space,
+                              tuple(layer_shapes), band, spec1)
+        return jit_b1(gp), pb_
+
+    o1, pb1 = device_once_1()
+    be._sync_all((o1, pb1))
+    reps1 = 16
+    t0 = time.perf_counter()
+    for _ in range(reps1):
+        o1, pb1 = device_once_1()
+    be._sync_all((o1, pb1))
+    dev1_ms = (time.perf_counter() - t0) / reps1 * 1e3
+
+    levels1 = np.asarray(pb1)
+    d1, s1 = [], []
+    for gi, (dt_, st_) in enumerate(o1):
+        g = spec1.groups[gi]
+        d1.append([np.ascontiguousarray(np.asarray(dt_[si])).reshape(
+            g.n_l, (g.ph // s) * (g.pw // s), s * s)
+            for si, s in enumerate(g.sizes)])
+        s1.append([np.ascontiguousarray(np.asarray(st_[si])).reshape(
+            -1, s * s) for si, s in enumerate(g.sizes)])
+    hlat = []
+    for _ in range(9):
+        t0 = time.perf_counter()
+        plans1 = be._build_plans(cfg, layer_shapes, levels1, band, 1)
+        be.assemble_native(cfg, spec1, plans1, d1, s1, 1)
+        hlat.append(time.perf_counter() - t0)
+    host1_ms = sorted(hlat)[len(hlat) // 2] * 1e3
+    p50_work_ms = dev1_ms + host1_ms
+    print(f"single-image p50: wall {p50_ms:.0f} ms; work-only "
+          f"{p50_work_ms:.1f} ms (device {dev1_ms:.1f} amortized over "
+          f"{reps1} reps + host {host1_ms:.1f})", file=sys.stderr)
+
     print(json.dumps({
         "metric": (f"encode Mpix/s/chip, pipelined steady-state MEASURED "
                    f"over {len(diffs)} warm stream batches (median period "
-                   f"{meas_period * 1e3:.0f} ms; model max(device "
+                   f"{meas_period * 1e3:.0f} ms, IQR [{q1 * 1e3:.0f}, "
+                   f"{q3 * 1e3:.0f}] -> [{rate_iqr[0]:.1f}, "
+                   f"{rate_iqr[1]:.1f}] Mpix/s; model max(device "
                    f"{device_busy * 1e3:.0f} ms, host "
                    f"{host_busy * 1e3:.0f} ms) = {model_period * 1e3:.0f} "
                    f"ms; host is plans-DFS + C++ assemble on this 2-core "
-                   f"harness — device-bound on hosts with >=4 cores). "
+                   f"harness). "
                    f"LIVE 512x768 x{b} ({BATCH} distinct x{REPLICATE}), "
                    f"{SPACE} q{QUALITY[0]}-{QUALITY[1]} blocks "
                    f"{BLOCKS[0]}-{BLOCKS[1]} quadtree; synchronous batch "
                    f"{sync_rate:.1f} Mpix/s; decode steady-state "
-                   f"{dec_stream:.1f} / sync {dec_sync:.1f} Mpix/s; "
-                   f"p50 single-image encode {p50_ms:.0f} ms; PSNR "
+                   f"{dec_stream:.1f} (IQR period [{dq1 * 1e3:.0f}, "
+                   f"{dq3 * 1e3:.0f}] ms) / sync {dec_sync:.1f} Mpix/s; "
+                   f"p50 single-image encode {p50_ms:.0f} ms wall on this "
+                   f"tunnel, {p50_work_ms:.1f} ms work-only (device "
+                   f"{dev1_ms:.1f} amortized + host {host1_ms:.1f} — the "
+                   f"PCIe-class latency); PSNR "
                    f"{p:.2f} dB, CR {ratio:.1f}x; tunnel-only transfers "
                    f"excluded: push {timings.get('push', 0):.2f}s + pull "
                    f"{timings.get('pull', 0):.2f}s/batch at ~25 MB/s "
