@@ -1374,20 +1374,99 @@ struct TableScatter {
     if (pos < static_cast<uint32_t>(dist)) return false;
     if (dist == 1) {
       unsigned c = hist[(pos - 1) & 3];
-      if (c == 0 && phase == 0 && L >= 8) {
-        uint64_t w = L >> 2;
-        if (!skip_zero_words(w)) return false;
-        pos += w * 4;
-        // the skipped bytes were all zero
-        hist[0] = hist[1] = hist[2] = hist[3] = 0;
-        for (uint32_t k = 0; k < (L & 3); ++k) byte(0);
+      if (c == 0) {
+        // Zero gap.  Most gaps start mid-word (a positive coefficient
+        // emits 1-2 literal bytes, so the merged zero run begins at
+        // phase 1-2); walking those byte-by-byte dominated the scatter
+        // half of decode (measured 154 of 239 ms/batch single-thread).
+        // Hybrid: byte() to the word boundary, O(1)-skip whole words,
+        // byte() the tail.
+        uint32_t head = static_cast<uint32_t>((4 - phase) & 3);
+        if (head > L) head = L;
+        for (uint32_t k = 0; k < head; ++k) byte(0);
+        if (bad) return false;
+        uint32_t rem = L - head;
+        uint64_t w = rem >> 2;
+        if (w) {
+          if (!skip_zero_words(w)) return false;
+          pos += w * 4;
+          // the skipped bytes were all zero
+          hist[0] = hist[1] = hist[2] = hist[3] = 0;
+        }
+        for (uint32_t k = 0; k < (rem & 3); ++k) byte(0);
       } else {
         for (uint32_t k = 0; k < L; ++k) byte(c);
       }
-    } else {  // dist 4: repeat the previous word
+    } else if (phase == 0 && (L & 3) == 0 && L >= 8) {
+      // dist 4, word-aligned: the repeated word is constant — commit it
+      // word-at-a-time instead of 4 byte() state-machine steps per word
+      uint32_t wv = static_cast<uint32_t>(hist[(pos + 0) & 3]) |
+                    (static_cast<uint32_t>(hist[(pos + 1) & 3]) << 8) |
+                    (static_cast<uint32_t>(hist[(pos + 2) & 3]) << 16) |
+                    (static_cast<uint32_t>(hist[(pos + 3) & 3]) << 24);
+      uint64_t w = L >> 2;
+      int16_t v16 = static_cast<int16_t>(wv);
+      while (w) {
+        if (!dst) {
+          bad = true;
+          return false;
+        }
+        uint64_t room = static_cast<uint64_t>(s2 - oi);
+        uint64_t m = w < room ? w : room;
+        if (wv) {
+          int16_t* q = dst + oi;
+          for (uint64_t k = 0; k < m; ++k) q[k] = v16;
+        }
+        oi += static_cast<int64_t>(m);
+        w -= m;
+        if (oi == s2) {
+          next_leaf();
+          if (bad) return false;
+        }
+      }
+      pos += L;  // hist invariant: byte j copies its own slot 4 earlier
+    } else {  // dist 4, unaligned/short: repeat the previous word bytewise
       for (uint32_t k = 0; k < L; ++k) byte(hist[pos & 3]);
     }
     return !bad;
+  }
+};
+
+// Counting sink: same protocol as TableScatter but no leaf walking and no
+// stores — profiling probe isolating the pure deflate-decode cost (Huffman
+// + bit plumbing) from the scatter/leaf-geometry half.
+struct CountSink {
+  int64_t li = -1, n_leaves = 0;
+  uint32_t cur = 0;
+  int phase = 0;
+  uint8_t hist[4] = {0, 0, 0, 0};
+  uint64_t pos = 0;
+  bool bad = false;
+  bool next_leaf() {
+    li = 0;
+    return true;
+  }
+  inline void byte(unsigned c) {
+    hist[pos & 3] = static_cast<uint8_t>(c);
+    ++pos;
+    if (++phase == 4) phase = 0;
+  }
+  bool run(int dist, uint32_t L) {
+    if (pos < static_cast<uint32_t>(dist)) return false;
+    if (dist == 1) {
+      unsigned c = hist[(pos - 1) & 3];
+      if (L >= 4) {
+        hist[0] = hist[1] = hist[2] = hist[3] = static_cast<uint8_t>(c);
+        pos += L;
+        phase = static_cast<int>((phase + L) & 3);
+      } else {
+        for (uint32_t k = 0; k < L; ++k) byte(c);
+      }
+    } else {  // dist 4: each byte copies its own hist slot — hist invariant
+      pos += L;
+      phase = static_cast<int>((phase + L) & 3);
+    }
+    return true;
   }
 };
 
@@ -1396,8 +1475,9 @@ enum { INF_OK = 1, INF_FALLBACK = 0, INF_BAD = -1 };
 // Decode a zlib stream produced by the sparse encoder straight into `sink`.
 // Returns INF_OK, INF_FALLBACK (valid-looking but uses features we don't
 // speed-decode — use zlib), or INF_BAD (malformed).
+template <class Sink>
 int sparse_inflate_scatter(const unsigned char* comp, size_t comp_len,
-                           TableScatter& sink, uint64_t expect_bytes) {
+                           Sink& sink, uint64_t expect_bytes) {
   if (comp_len < 6) return INF_BAD;
   if ((comp[0] & 0x0F) != 8) return INF_BAD;  // not deflate/zlib
   BitReader br{comp + 2, comp + comp_len - 4};
@@ -1474,25 +1554,71 @@ int sparse_inflate_scatter(const unsigned char* comp, size_t comp_len,
         return INF_BAD;
       if (!build_decode_table(lens + nlit, ndist, kMaxCodeLen, dtab.data()))
         return INF_BAD;
+      // Pack a combined table over the same 12-bit window: when the entry
+      // is a literal whose code leaves room for a complete second literal
+      // code, both decode in ONE lookup (the per-symbol table walk was the
+      // bulk of the remaining inflate cost — literals come in short-code
+      // bursts: lo/hi/sign-byte sequences).  Entry layout:
+      //   bits 0-3  combined length, 4-5 type (1=lit, 2=two lits,
+      //   3=len/EOB — re-decode via lltab), 8-15 sym1, 16-23 sym2.
+      thread_local std::vector<uint32_t> ctab(1 << kMaxCodeLen);
+      {
+        const uint16_t* t = lltab.data();
+        uint32_t* c2 = ctab.data();
+        for (uint32_t idx = 0; idx < (1u << kMaxCodeLen); ++idx) {
+          uint16_t e1 = t[idx];
+          if (!e1) {
+            c2[idx] = 0;
+            continue;
+          }
+          unsigned l1 = e1 & 0xF, s1 = e1 >> 4;
+          if (s1 >= 256) {
+            c2[idx] = 3u << 4;
+            continue;
+          }
+          uint16_t e2 = t[(idx >> l1) & ((1u << kMaxCodeLen) - 1)];
+          unsigned l2 = e2 & 0xF, s2 = e2 >> 4;
+          if (e2 && s2 < 256 && l1 + l2 <= kMaxCodeLen)
+            c2[idx] = (l1 + l2) | (2u << 4) | (s1 << 8) | (s2 << 16);
+          else
+            c2[idx] = l1 | (1u << 4) | (s1 << 8);
+        }
+      }
       const uint16_t* ll = lltab.data();
       const uint16_t* dd = dtab.data();
+      const uint32_t* cc = ctab.data();
       constexpr uint32_t llmask = (1u << kMaxCodeLen) - 1;
       for (;;) {
         // literal fastloop: one branchless 8-byte refill guarantees >= 48
-        // bits, i.e. four worst-case 12-bit symbols — decode literals in a
-        // tight sub-loop without per-symbol fill checks (the per-literal
-        // fill-and-dispatch structure dominated the inflate)
+        // bits, i.e. four worst-case 12-bit windows — decode literal PAIRS
+        // in a tight sub-loop without per-symbol fill checks
         br.fill();
         int sym;
         for (;;) {
-          uint16_t e = ll[br.hold & llmask];
-          int l = e & 0xF;
-          if (!e || l > br.nbits) return INF_BAD;
-          br.drop(l);
-          sym = e >> 4;
-          if (sym >= 256) break;
-          sink.byte(static_cast<unsigned>(sym));
-          if (sink.bad) return INF_BAD;
+          uint32_t e = cc[br.hold & llmask];
+          unsigned t = (e >> 4) & 3;
+          unsigned l = e & 0xF;
+          if (t == 2) {
+            if (l > static_cast<unsigned>(br.nbits)) return INF_BAD;
+            br.drop(static_cast<int>(l));
+            sink.byte((e >> 8) & 0xFF);
+            sink.byte((e >> 16) & 0xFF);
+            if (sink.bad) return INF_BAD;
+          } else if (t == 1) {
+            if (l > static_cast<unsigned>(br.nbits)) return INF_BAD;
+            br.drop(static_cast<int>(l));
+            sink.byte((e >> 8) & 0xFF);
+            if (sink.bad) return INF_BAD;
+          } else if (t == 3) {
+            uint16_t e1 = ll[br.hold & llmask];
+            int l1 = e1 & 0xF;
+            if (!e1 || l1 > br.nbits) return INF_BAD;
+            br.drop(l1);
+            sym = e1 >> 4;
+            break;
+          } else {
+            return INF_BAD;
+          }
           if (br.nbits < 15) {
             sym = -1;
             break;
@@ -2159,6 +2285,19 @@ size_t aej_deflate_bound(size_t len, size_t chunk_size) {
 }
 
 }  // extern "C"
+
+// Profiling probe (tools/profile_r5_parse.py): pure inflate cost of one
+// layer payload with no scatter — full-minus-this = scatter+leaf half.
+// Returns bytes decoded, or -1 (bad) / -2 (fallback-class stream).
+extern "C" int64_t aej_bench_inflate_count(const unsigned char* comp,
+                                           size_t comp_len,
+                                           int64_t expect_bytes) {
+  CountSink cs;
+  int rc = sparse_inflate_scatter(comp, comp_len, cs,
+                                  static_cast<uint64_t>(expect_bytes));
+  if (rc == INF_OK) return static_cast<int64_t>(cs.pos);
+  return rc == INF_BAD ? -1 : -2;
+}
 
 // TEMPORARY benchmark probe: scan-only cost of the sparse16 encoder.
 // mode 0: full; mode 1: no adler; mode 2: zero-span traversal only.
