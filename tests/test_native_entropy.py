@@ -177,6 +177,48 @@ def test_decode_layer_matches_oracle(level):
             np.testing.assert_array_equal(got[k], want[k])
 
 
+def test_decode_layer_pattern_coeffs():
+    """Adversarial coefficient PATTERNS through the custom inflater's fast
+    paths: long constant nonzero runs (dist-4 word fill), dense alternating
+    signs (paired-literal table), and mid-word zero gaps after positive
+    values (align-skip-tail).  Each must scatter identically to the
+    documented plaintext."""
+    import ctypes
+    rng = np.random.default_rng(23)
+    from aejpeg_tpu.codec import quadtree as qt
+    h = w = 64
+    plan, _, states_bytes, bits_len = _random_layer(rng, h, w)
+    total = int((plan.leaf_sizes.astype(np.int64) ** 2).sum())
+    patterns = []
+    v = np.zeros(total, np.int16)
+    v[: total // 2] = -9                      # long negative constant run
+    v[total // 2: total // 2 + 200] = 300     # 2-literal-byte positives
+    patterns.append(v)
+    v = np.tile(np.array([1, -1], np.int16), total // 2 + 1)[:total]
+    patterns.append(v)                        # dense alternation, no zeros
+    v = np.zeros(total, np.int16)
+    v[::7] = 5                                # positive + mid-word zero gap
+    v[3::97] = -1200
+    patterns.append(v)
+    v = np.full(total, 7, np.int16)           # one plane-wide constant run
+    patterns.append(v)
+    pw = ph = 64
+    for coeffs in patterns:
+        comp = ne.deflate_parallel(coeffs.astype("<i4").tobytes(), level=-1,
+                                   threads=2)
+        want = _expected_tables(plan, coeffs, pw, ph)
+        got = {}
+        ptrs = (ctypes.c_void_p * 8)()
+        for k, t in want.items():
+            got[k] = np.zeros_like(t)
+            ptrs[k] = got[k].ctypes.data
+        n = ne.decode_layer(states_bytes, bits_len, plan.root_size, comp,
+                            pw, ph, ptrs)
+        assert n == len(plan.leaf_sizes)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+
 def test_decode_layer_rejects_malformed():
     """Adversarial containers must fail cleanly (return -1), not read or
     write out of bounds (round-2 advisor finding)."""
