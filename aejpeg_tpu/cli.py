@@ -195,6 +195,15 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", requested)
 
+    # persistent compilation cache: sweep/bench shapes compile through a
+    # remote helper on the dev harness (minutes per program); caching on
+    # disk makes interrupted sweeps and repeat CLI runs start warm
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                      "/root/.cache/jax_bench_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     p = argparse.ArgumentParser(prog="aejpeg",
                                 description="TPU-native adaptive "
                                             "edge-aware JPEG codec")
