@@ -137,6 +137,44 @@ def main():
     timeit("ALL sizes fused", jax.jit(
         lambda p: tuple(chain_fused(p, s) for s in sizes)), planes0)
 
+    # ---- decode direction: inverse zigzag + block de-transpose fused the
+    # same way (stage D does gather -> 6-D transpose -> idct per size)
+    rng = np.random.default_rng(0)
+    s0 = sizes[len(sizes) // 2]
+    gh, gw = g0.ph // s0, g0.pw // s0
+    p_ = b * n_l
+    zzr_np = (rng.standard_normal((p_, gh * gw, s0 * s0)) * 5).astype(
+        np.int16)
+    zzrows = jnp.asarray(zzr_np)
+    q = jnp.asarray(rng.random((1, n_l, 1, 1, s0, s0)).astype(np.float32))
+
+    def dec_current(zz_in):
+        inv = zigzag.inverse_zigzag_indices(s0)
+        raster = zz_in[:, :, jnp.asarray(inv)]
+        lv = raster.reshape(b, n_l, gh, gw, s0, s0)
+        coeffs = (lv * q).astype(jnp.float32)
+        return coeffs.transpose(0, 1, 2, 4, 3, 5).reshape(-1)
+
+    def dec_fused(zz_in):
+        # out[(i, c, j)] = in[(c, inv[i, j])] — inverse zigzag and block
+        # de-transpose in one static gather along the wide axis
+        inv2 = np.asarray(
+            zigzag.inverse_zigzag_indices(s0)).reshape(s0, s0)
+        c = np.arange(gw, dtype=np.int64)
+        idx = (c[None, :, None] * (s0 * s0)
+               + inv2[:, None, :]).reshape(-1)          # (s0*gw*s0,)
+        flat = zz_in.reshape(p_, gh, gw * s0 * s0)
+        out = jnp.take(flat, jnp.asarray(idx), axis=2)
+        lv = out.reshape(b, n_l, gh, s0, gw, s0)
+        q6 = q.reshape(1, n_l, 1, s0, 1, s0)
+        return (lv * q6).astype(jnp.float32).reshape(-1)
+
+    a = np.asarray(jax.jit(dec_current)(zzrows))
+    f = np.asarray(jax.jit(dec_fused)(zzrows))
+    print(f"decode fused == current (s={s0}): {np.array_equal(a, f)}")
+    timeit(f"decode current s={s0}", jax.jit(dec_current), zzrows)
+    timeit(f"decode fused   s={s0}", jax.jit(dec_fused), zzrows)
+
 
 if __name__ == "__main__":
     main()
