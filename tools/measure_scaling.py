@@ -171,7 +171,7 @@ def main():
     eff = t1 / (2 * t2)
 
     lines = [
-        "# Scaling measurements (round 3)",
+        "# Scaling measurements (round 5 refresh)",
         "",
         f"Host: {ncpu} physical cores; JAX CPU backend; LIVE 512x768",
         f"images, YCoCg q20-80 blocks 4-64, batch {batch}, mean of 3.",
