@@ -54,11 +54,15 @@ def timeit(name, fn, *a):
 
 
 def main():
+    import math
+    import os
     u8 = load()
     b, h, w = u8.shape[:3]
-    cfg = CodecConfig("YCoCg", (20, 80), (4, 64))
+    blocks = tuple(int(x) for x in
+                   os.environ.get("AEJ_BENCH_BLOCKS", "4,64").split(","))
+    cfg = CodecConfig("YCoCg", (20, 80), blocks)
     layer_shapes = cfg.layer_shapes((h, w))
-    band = (3, 6)
+    band = (int(math.log2(blocks[0])) + 1, int(math.log2(blocks[1])))
     jit_b, spec = be._stage_b_fn(cfg, (h, w), b)
     batch_dev = jnp.asarray(u8)
     be._sync(batch_dev)
