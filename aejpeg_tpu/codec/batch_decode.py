@@ -40,7 +40,7 @@ from ..native import entropy as native_entropy
 from ..native import inflate as native_inflate
 from ..ops import dct, quant, resize, zigzag
 from . import quadtree as qt
-from .batch_encode import _quant_tables_np, _sync
+from .batch_encode import _FUSED_LAYOUT, _quant_tables_np, _sync
 from .dense import batch_spec
 
 
@@ -79,12 +79,26 @@ def _stage_d_fn(cfg: CodecConfig, shape: Tuple[int, int], b: int):
                 zzrows = tables[gi][si]                  # (p, gh*gw, s*s)
                 zzrows = jnp.where(masks[gi][si][:, :, None] != 0,
                                    zzrows, 0)
-                raster = zzrows[:, :, jnp.asarray(inv)]
-                lv = raster.reshape(b, n_l, gh, gw, s, s)
-                coeffs = (lv * jnp.asarray(q_g).reshape(
-                    1, n_l, 1, 1, s, s)).astype(jnp.float32)
-                # dense inverse DCT wants (..., gh, s, gw, s)
-                blocks = dct.idct2_dense(coeffs.transpose(0, 1, 2, 4, 3, 5))
+                if _FUSED_LAYOUT:
+                    # inverse zigzag + block de-transpose as ONE wide
+                    # static gather (bitwise-identical; mirrors encode's
+                    # fused layout — ops/zigzag.row_inverse_zigzag_indices)
+                    ridx = jnp.asarray(
+                        zigzag.row_inverse_zigzag_indices(s, gw))
+                    flat = zzrows.reshape(b * n_l, gh, gw * s * s)
+                    lv = jnp.take(flat, ridx, axis=2).reshape(
+                        b, n_l, gh, s, gw, s)
+                    coeffs = (lv * jnp.asarray(q_g).reshape(
+                        1, n_l, 1, s, 1, s)).astype(jnp.float32)
+                    blocks = dct.idct2_dense(coeffs)
+                else:
+                    raster = zzrows[:, :, jnp.asarray(inv)]
+                    lv = raster.reshape(b, n_l, gh, gw, s, s)
+                    coeffs = (lv * jnp.asarray(q_g).reshape(
+                        1, n_l, 1, 1, s, s)).astype(jnp.float32)
+                    # dense inverse DCT wants (..., gh, s, gw, s)
+                    blocks = dct.idct2_dense(
+                        coeffs.transpose(0, 1, 2, 4, 3, 5))
                 canvas = canvas + blocks.reshape(b, n_l, ph, pw)
             canvases.append(canvas)
 

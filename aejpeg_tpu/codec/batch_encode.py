@@ -55,6 +55,18 @@ from . import quadtree as qt
 from .dense import BatchSpec, batch_spec, boundary_positions
 
 
+# Fused layout path (transpose+zigzag as one wide static gather).
+# Bitwise-identical to the two-pass chain on CPU and TPU (verified by
+# tools/exp_r5_stageb.py) and ~2x faster on CPU, but MEASURED SLOWER on
+# TPU in the production all-sizes jit (19.9 vs 15.8 ms for the luma
+# group, r5): XLA/Mosaic lays out the transpose+small-gather chain better
+# than the wide per-lane gather.  Default OFF; AEJ_FUSED_LAYOUT=1 enables
+# it for A/B measurement on other backends.
+import os as _os
+
+_FUSED_LAYOUT = _os.environ.get("AEJ_FUSED_LAYOUT", "0") == "1"
+
+
 def _pool_any(mask: jnp.ndarray, factor: int) -> jnp.ndarray:
     h, w = mask.shape
     return mask.reshape(h // factor, factor, w // factor, factor).any(
@@ -245,13 +257,23 @@ def _stage_b_fn(cfg: CodecConfig, shape: Tuple[int, int], b: int):
                 hi6 = jnp.asarray(hi_g).reshape(1, n_l, 1, s, 1, s)
                 lo6 = jnp.asarray(lo_g).reshape(1, n_l, 1, s, 1, s)
                 lv = jnp.round(y6 * hi6 + y6 * lo6).astype(jnp.int16)
-                rows = lv.reshape(p, gh, s, gw, s).transpose(
-                    0, 1, 3, 2, 4).reshape(p, gh * gw, s * s)
                 # tables leave the device FLAT (1-D): the C++ assembler
                 # reads raw memory, and a pulled N-D array can arrive with
                 # a transposed device layout exposed as numpy strides —
                 # 1-D is linear by construction (host reshapes for free)
-                dense_out.append(rows[:, :, jnp.asarray(zz)].reshape(-1))
+                if _FUSED_LAYOUT:
+                    # block transpose + zigzag as ONE wide static gather
+                    # (bitwise-identical; halves the relayout passes that
+                    # bind stage B — see ops/zigzag.row_zigzag_indices)
+                    fidx = jnp.asarray(zigzag.row_zigzag_indices(s, gw))
+                    flat = lv.reshape(p, gh, s * gw * s)
+                    dense_out.append(jnp.take(flat, fidx, axis=2)
+                                     .reshape(-1))
+                else:
+                    rows = lv.reshape(p, gh, s, gw, s).transpose(
+                        0, 1, 3, 2, 4).reshape(p, gh * gw, s * s)
+                    dense_out.append(rows[:, :, jnp.asarray(zz)]
+                                     .reshape(-1))
                 if slow_idx is None:
                     slow_out.append(jnp.zeros((0,), jnp.int16))
                     continue
@@ -562,15 +584,23 @@ def encode_batch(images: Sequence[ImageData], config: CodecConfig,
         packed_bits, outs = fn(batch)
 
     if mesh is None and b * h * w <= (1 << 20):
-        # Latency path (single image / tiny batch): one fused pull of the
-        # whole output tree — device_get issues every transfer before
-        # waiting, so the levels, the dense tables and the execution
-        # barrier share ONE link round-trip instead of three (VERDICT r4
-        # #6; on the dev tunnel each serial round-trip costs ~26 ms).
+        # Latency path (single image / tiny batch): start EVERY
+        # device->host copy asynchronously, then collect — the levels, the
+        # dense tables and the execution barrier share one link round-trip
+        # instead of one per output leaf (VERDICT r4 #6; device_get alone
+        # pulls leaves serially, ~16 round-trips at ~26 ms each on the dev
+        # tunnel).  The combined wait is attributed to 'pull' (transfer);
+        # device execution overlaps it and is profiled separately by the
+        # bench's amortized work-only p50.
+        try:
+            jax.tree_util.tree_map(lambda x: x.copy_to_host_async(),
+                                   (packed_bits, outs))
+        except AttributeError:
+            pass
         levels_bits, outs = jax.device_get((packed_bits, outs))
+        mark("pull")
         plans = _build_plans(cfg, layer_shapes, levels_bits, band, b)
         mark("plans")
-        mark("device")
     else:
         # The stage-B execution barrier (a scalar pull; see _sync) rides a
         # background thread so its round-trip runs concurrently with the

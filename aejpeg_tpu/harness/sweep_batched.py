@@ -120,9 +120,15 @@ def _stage_b_rt_fn(layer_shapes: Tuple[Tuple[int, int], ...], b: int):
                 hi6 = hi_g.reshape(1, n_l, 1, s, 1, s)
                 lo6 = lo_g.reshape(1, n_l, 1, s, 1, s)
                 lv = jnp.round(y6 * hi6 + y6 * lo6).astype(jnp.int16)
-                rows = lv.reshape(p, gh, s, gw, s).transpose(
-                    0, 1, 3, 2, 4).reshape(p, gh * gw, s * s)
-                dense_out.append(rows[:, :, jnp.asarray(zz)])
+                if be._FUSED_LAYOUT:
+                    fidx = jnp.asarray(zigzag.row_zigzag_indices(s, gw))
+                    flat = lv.reshape(p, gh, s * gw * s)
+                    dense_out.append(jnp.take(flat, fidx, axis=2)
+                                     .reshape(p, gh * gw, s * s))
+                else:
+                    rows = lv.reshape(p, gh, s, gw, s).transpose(
+                        0, 1, 3, 2, 4).reshape(p, gh * gw, s * s)
+                    dense_out.append(rows[:, :, jnp.asarray(zz)])
                 if slow_idx is None:
                     slow_out.append(jnp.zeros((0, s * s), jnp.int16))
                     continue
@@ -225,11 +231,22 @@ def _recon_metrics_fn(space: str, shape: Tuple[int, int],
                     slow3 = slow.reshape(p, len(bcells), s * s)
                     zzrows = zzrows.at[:, jnp.asarray(bcells), :].set(slow3)
                 lv = zzrows * masks[(gi, s)][:, :, None]
-                raster = lv[:, :, jnp.asarray(inv)]
-                lv6 = raster.reshape(b, n_l, gh, gw, s, s)
-                coeffs = (lv6 * q_t[(gi, s)].reshape(1, n_l, 1, 1, s, s)
-                          ).astype(jnp.float32)
-                blocks = dct.idct2_dense(coeffs.transpose(0, 1, 2, 4, 3, 5))
+                if be._FUSED_LAYOUT:
+                    ridx = jnp.asarray(
+                        zigzag.row_inverse_zigzag_indices(s, gw))
+                    flat = lv.reshape(p, gh, gw * s * s)
+                    lv6 = jnp.take(flat, ridx, axis=2).reshape(
+                        b, n_l, gh, s, gw, s)
+                    coeffs = (lv6 * q_t[(gi, s)].reshape(1, n_l, 1, s, 1, s)
+                              ).astype(jnp.float32)
+                    blocks = dct.idct2_dense(coeffs)
+                else:
+                    raster = lv[:, :, jnp.asarray(inv)]
+                    lv6 = raster.reshape(b, n_l, gh, gw, s, s)
+                    coeffs = (lv6 * q_t[(gi, s)].reshape(1, n_l, 1, 1, s, s)
+                              ).astype(jnp.float32)
+                    blocks = dct.idct2_dense(
+                        coeffs.transpose(0, 1, 2, 4, 3, 5))
                 canvas = canvas + blocks.reshape(b, n_l, ph, pw)
             canvases.append(canvas)
 

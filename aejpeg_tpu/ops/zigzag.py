@@ -75,3 +75,44 @@ def zigzag_gather_flat(flat: jnp.ndarray, size: int) -> jnp.ndarray:
 def zigzag_scatter_flat(vectors: jnp.ndarray, size: int) -> jnp.ndarray:
     """(N, s*s) zigzag -> (N, s*s) row-major raster, staying 2-D."""
     return vectors[:, jnp.asarray(inverse_zigzag_indices(size))]
+
+
+@functools.lru_cache(maxsize=None)
+def row_zigzag_indices(size: int, grid_w: int) -> np.ndarray:
+    """Fused block-transpose + zigzag index vector (encode direction).
+
+    For a quantized plane row viewed as (gh, s * gw * s) — i.e. the
+    (p, gh, s, gw, s) dense-DCT layout flattened over its last three axes —
+    one static gather with this (s * gw * s,) vector produces the
+    (gh, gw * s * s) layout whose cell c holds that block's s*s zigzag
+    coefficients:
+
+        out[c * s*s + k] = in[i(k) * gw*s + c * s + j(k)]
+
+    This replaces the production chain's 5-D transpose PLUS per-row zigzag
+    gather (two full relayout passes, the measured stage-B binder) with a
+    single wide gather (last axis >= s * gw * s — healthy lane counts on
+    TPU).  Bitwise-identical output (pure data movement).
+    """
+    zz = zigzag_indices(size)
+    i_k = (zz // size).astype(np.int64)
+    j_k = (zz % size).astype(np.int64)
+    c = np.arange(grid_w, dtype=np.int64)
+    return (i_k[None, :] * (grid_w * size) + c[:, None] * size
+            + j_k[None, :]).reshape(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def row_inverse_zigzag_indices(size: int, grid_w: int) -> np.ndarray:
+    """Fused inverse-zigzag + block de-transpose (decode direction).
+
+    For a zigzag table row viewed as (gh, gw * s * s), one static gather
+    with this (s * gw * s,) vector produces the (gh, s * gw * s) raster
+    layout the dense inverse DCT consumes:
+
+        out[i * gw*s + c * s + j] = in[c * s*s + inv(i, j)]
+    """
+    inv2 = inverse_zigzag_indices(size).reshape(size, size).astype(np.int64)
+    c = np.arange(grid_w, dtype=np.int64)
+    return (c[None, :, None] * (size * size)
+            + inv2[:, None, :]).reshape(-1).astype(np.int32)
