@@ -72,7 +72,8 @@ class MetricsAnalysis:
         out = {}
         out["top_compression"] = self.df_compression.nlargest(
             top_n, "compression_ratio")
-        if "composite_score" in self.df_quality.columns:
+        if "composite_score" in self.df_quality.columns and len(
+                self.df_quality):
             out["top_quality"] = self.df_quality.nlargest(
                 top_n, "composite_score")
         for name, df in out.items():

@@ -142,6 +142,8 @@ class MetricsComparison:
     def run(self):
         for f in self.files:
             df = pd.read_csv(f)
+            if "psnr" not in df.columns or "image_name" not in df.columns:
+                continue  # not a sweep CSV (e.g. analyze outputs in-dir)
             if "subsampling" not in df.columns:
                 df["subsampling"] = extract_subsampling(f)
             if df["lpips"].isna().all():
