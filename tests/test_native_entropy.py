@@ -219,6 +219,67 @@ def test_decode_layer_pattern_coeffs():
             np.testing.assert_array_equal(got[k], want[k])
 
 
+def test_encode_decode_differential_fuzz():
+    """Randomized differential check of the full sparse encode -> strict
+    zlib validation -> custom inflate-scatter chain over coefficient
+    styles chosen to stress every fast path (a 400-trial run of this
+    generator passed clean in round 5; kept bounded here)."""
+    import ctypes
+    from aejpeg_tpu.codec import quadtree as qt
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        h = int(rng.integers(16, 100))
+        w = int(rng.integers(16, 100))
+        edge = (rng.random((h, w)) < rng.uniform(0, 0.1)).astype(np.float32)
+        mx = int(2 ** rng.integers(2, 6))
+        mn = min(mx, int(2 ** rng.integers(2, 6)))
+        plan = qt.build_plan(edge, max(mx, mn), min(mx, mn))
+        total = int((plan.leaf_sizes.astype(np.int64) ** 2).sum())
+        style = trial % 4
+        v = np.zeros(total, np.int16)
+        if style == 0:
+            nz = rng.random(total) < rng.uniform(0.01, 0.5)
+            v[nz] = (rng.standard_normal(nz.sum()) * 200).astype(np.int16)
+        elif style == 1:   # long constant runs (dist-4 word fill)
+            i = 0
+            while i < total:
+                run = int(rng.integers(1, 300))
+                v[i:i + run] = int(rng.integers(-1000, 1000))
+                i += run + int(rng.integers(0, 100))
+        elif style == 2:   # sparse positives (mid-word zero gaps)
+            v[::int(rng.integers(2, 30))] = int(rng.integers(1, 255))
+        else:              # extreme values
+            nz = rng.random(total) < 0.05
+            v[nz] = rng.choice(np.array([-32768, 32767, 1, -1], np.int16),
+                               nz.sum())
+        comp = ne.payload16(v, threads=int(rng.integers(1, 3)))
+        assert zlib.decompress(comp) == v.astype("<i4").tobytes()
+        pw = -(-w // max(mx, mn)) * max(mx, mn)
+        ph = -(-h // max(mx, mn)) * max(mx, mn)
+        sizes64 = plan.leaf_sizes.astype(np.int64)
+        offs = np.zeros(len(sizes64) + 1, np.int64)
+        np.cumsum(sizes64 ** 2, out=offs[1:])
+        want, got = {}, {}
+        ptrs = (ctypes.c_void_p * 8)()
+        for s in np.unique(sizes64):
+            s = int(s)
+            k = s.bit_length() - 1
+            want[k] = np.zeros(((ph // s) * (pw // s), s * s), np.int16)
+            got[k] = np.zeros_like(want[k])
+            ptrs[k] = got[k].ctypes.data
+        for i, s in enumerate(sizes64):
+            s = int(s)
+            k = s.bit_length() - 1
+            row = (plan.leaf_y[i] // s) * (pw // s) + plan.leaf_x[i] // s
+            want[k][row] = v[offs[i]:offs[i + 1]]
+        states_bytes, bits_len = qt.pack_states(plan.states)
+        n = ne.decode_layer(states_bytes, bits_len, plan.root_size, comp,
+                            pw, ph, ptrs)
+        assert n == len(plan.leaf_sizes)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+
 def test_decode_layer_rejects_malformed():
     """Adversarial containers must fail cleanly (return -1), not read or
     write out of bounds (round-2 advisor finding)."""
