@@ -592,6 +592,18 @@ class BatchedMetricsSweep:
 
         n_done = 0
         for space in self.color_spaces:
+            # resume fast-path: if every combo of this (shape, space) is
+            # already in the CSV, skip the whole device setup (stage A +
+            # jit construction) — on a resumed run the first compile of a
+            # covered shape group would otherwise cost minutes for rows
+            # that are then skipped one by one
+            missing = [c for c in combos if c[0] == space and (
+                str(paths[0]), c[0], str(c[1][0]), str(c[1][1]),
+                str(c[2][0]), str(c[2][1])) not in existing]
+            if not missing:
+                n_done += b * sum(1 for c in combos if c[0] == space)
+                progress(n_done)
+                continue
             ls_space = CodecConfig(space, (50, 50),
                                    WIDE_BLOCKS).layer_shapes(shape)
             if tuple(ls_space) != tuple(layer_shapes):

@@ -162,7 +162,42 @@ def _u8_lut_2d(flat2d: jnp.ndarray) -> jnp.ndarray:
 
 def u8_to_unit_exact(batch_u8: jnp.ndarray) -> jnp.ndarray:
     """uint8 array (any shape) -> float32 x/255, bit-equal to numpy's
-    x.astype(np.float32)/255 elementwise (table gather, exact).
+    x.astype(np.float32)/255 for all 256 inputs — closed-form integer
+    construction, no gather, no Pallas, immune to excess-precision.
+
+    Derivation: for v in [1,255],  v/255 = v * (2^-8 + 2^-16 + 2^-24 + ...)
+    so r = v * 0x01010101 (fits u32 exactly; 255*0x01010101 = 2^32-1)
+    holds the first 32 fraction bits of v/255, and the discarded tail is
+    v/255 in ulp-of-r units — strictly in (0,1), so there is NEVER a
+    round-to-even tie: round-up iff the first discarded bit of r is set.
+    The MSB of r sits at bit 24+q with q = floor(log2 v) (extracted from
+    the exact u8->f32 convert's exponent field), giving mantissa
+    mant = r >> (q+1) in [2^23, 2^24).  Assembling
+    bits = ((q+119) << 23) + mant + round_bit - 2^23 even handles the
+    mantissa-overflow carry (v=255 -> exactly 1.0f) for free.
+    Exhaustive 256-value equality vs the host loader is pinned on CPU
+    (tests/test_pallas_kernels.py) and on the real chip
+    (tests/tpu/test_identity.py).
+
+    Replaces the round-4 Pallas 256-entry LUT gather (kept below as
+    u8_to_unit_lut): measured 9.9 ms for a 48M-element batch vs ~1 ms for
+    this ~12-int-op elementwise chain, which XLA fuses freely into the
+    surrounding stage-A graph."""
+    v = batch_u8.astype(jnp.uint32)
+    r = v * jnp.uint32(0x01010101)
+    vf = (v | jnp.uint32(1)).astype(jnp.float32)      # exact; |1 guards v=0
+    q = (jax.lax.bitcast_convert_type(vf, jnp.uint32) >> 23) - jnp.uint32(127)
+    mant = r >> (q + jnp.uint32(1))
+    rnd = (r >> q) & jnp.uint32(1)
+    bits = ((q + jnp.uint32(119)) << 23) + mant + rnd - jnp.uint32(1 << 23)
+    out = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.where(batch_u8 == 0, jnp.float32(0.0), out)
+
+
+def u8_to_unit_lut(batch_u8: jnp.ndarray) -> jnp.ndarray:
+    """Round-4 Pallas LUT-gather implementation of the exact u8 -> f32
+    x/255 conversion (superseded by the closed-form u8_to_unit_exact;
+    kept as an independent oracle for the equality tests).
 
     Layout: the kernel wants a 2-D (64k, 128m) view with a 2-D grid —
     measured 9.9 ms for a 48M-element batch, where BOTH a tall-skinny

@@ -90,6 +90,22 @@ def test_u8_to_unit_float_exhaustive():
         jnp.asarray(u8))), host)
 
 
+def test_u8_closed_form_matches_lut_oracle():
+    """The round-5 closed-form integer u8->f32 construction must agree
+    bit-for-bit with the round-4 Pallas LUT gather (independent oracle)
+    on a production-shaped batch, including every value and odd shapes."""
+    import jax.numpy as jnp
+    from aejpeg_tpu.ops.pallas_kernels import u8_to_unit_exact, u8_to_unit_lut
+    rng = np.random.default_rng(5)
+    for shape in [(2, 64, 96, 3), (256,), (7, 13)]:
+        x = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        a = np.asarray(u8_to_unit_exact(jnp.asarray(x)))
+        b = np.asarray(u8_to_unit_lut(jnp.asarray(x)))
+        assert np.array_equal(a.view(np.uint32), b.view(np.uint32))
+        host = x.astype(np.float32) / 255.0
+        assert np.array_equal(a.view(np.uint32), host.view(np.uint32))
+
+
 @pytest.mark.parametrize("shape", [(100, 120), (94, 50)],
                          ids=["mild-overhang", "deep-reflect"])
 def test_batch_boundary_blocks_match_single(shape):

@@ -72,6 +72,32 @@ def test_area_downsample_matches_opencv(shape, dst):
 
 
 @pytest.mark.parametrize("shape,dst", [
+    ((4, 512, 768), (256, 384)),    # 4:2:0 (bench geometry)
+    ((4, 512, 768), (512, 192)),    # 4:1:1 width r=4
+    ((2, 720, 480), (360, 240)),
+    ((2, 16, 16), (4, 4)),          # outside the gate -> fallback
+    ((2, 505, 632), (252, 316)),    # fractional -> fallback
+])
+def test_area_fast_path_bitwise_vs_matmul(shape, dst):
+    """The integer-ratio strided fast path must be BITWISE equal to the
+    dense-matmul formulation on CPU (same weights, same accumulation
+    order); shapes outside the verified gate must fall back to the
+    matmul itself, so equality holds for every input shape."""
+    rng = np.random.default_rng(11)
+    img = (rng.standard_normal(shape) * 120).astype(np.float32)
+    h, w = shape[-2:]
+    wh = jnp.asarray(resize.area_weights(h, dst[0]).astype(np.float32))
+    ww = jnp.asarray(resize.area_weights(w, dst[1]).astype(np.float32))
+    want = np.asarray(jax.jit(lambda x: jnp.einsum(
+        "...ik,lk->...il",
+        jnp.einsum("ij,...jk->...ik", wh, x, precision="highest"),
+        ww, precision="highest"))(img))
+    got = np.asarray(jax.jit(
+        lambda x: resize.resize2d(x, dst, "area"))(img))
+    assert np.array_equal(got.view(np.uint32), want.view(np.uint32))
+
+
+@pytest.mark.parametrize("shape,dst", [
     ((256, 256), (512, 512)),
     ((255, 256), (511, 513)),
     ((512, 128), (512, 512)),
