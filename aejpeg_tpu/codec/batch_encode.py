@@ -115,34 +115,59 @@ def _stage_a(batch: jnp.ndarray, space: str,
     converted = color.convert("sRGB", space, batch)
     b = batch.shape[0]
 
-    norms: List = [None] * 3
+    # process per GROUP (layers sharing a downsampled shape — e.g. both
+    # chroma layers under 4:2:0/4:1:1): the group's layers ride ONE
+    # stacked resize + Canny + pyramid chain of batch b*n_l instead of
+    # n_l separate per-layer chains.  Every op in the chain is per-pixel
+    # deterministic, so stacking is bit-transparent; it halves the
+    # chroma-side XLA op count and dispatch work in stage A.
     packed: List = [None] * 3
-    for i, (lh, lw) in enumerate(layer_shapes):
-        layer = resize.resize2d(converted[..., i], (lh, lw), "area")
-        levels = []
+    group_planes_l: List = [None] * len(spec.groups)
+    for gi, g in enumerate(spec.groups):
+        lh, lw = g.shape
+        idxs = list(g.layers)
+        k = g.n_l
+        src = (converted[..., idxs[0]] if k == 1 else
+               jnp.stack([converted[..., i] for i in idxs], axis=1))
+        layer = resize.resize2d(src, (lh, lw), "area")  # (b,[k,]lh,lw)
+        flat_l = layer.reshape(b * k, lh, lw)
         if level_band is not None:
             # uniform grids pass None: the split predicate never consults
             # edges (src/jpeg/quadtree.py:118 with min == max), so the
             # whole Canny stack is skipped
-            edges = jax.vmap(canny)(layer)
+            edges = jax.vmap(canny)(flat_l)
             root = qt.root_size_for(lh, lw)
-            base = jnp.zeros((b, root, root), jnp.bool_)
+            base = jnp.zeros((b * k, root, root), jnp.bool_)
             base = base.at[:, :lh, :lw].set(edges == 1.0)
             cur = base
-            for k in range(1, level_band[1] + 1):
+            levels_per = [[] for _ in idxs]
+            for lvk in range(1, level_band[1] + 1):
                 cur = jax.vmap(_pool_any, in_axes=(0, None))(cur, 2)
-                if k >= level_band[0]:
-                    levels.append(cur.reshape(b, -1))
-        packed[i] = levels
-        gi, _ = spec.layer_pos[i]
-        g = spec.groups[gi]
-        norm = (layer - mids[i]) * scales[i]
-        norms[i] = jnp.pad(norm, ((0, 0), (0, g.ph - lh), (0, g.pw - lw)))
-
-    group_planes = []
-    for g in spec.groups:
-        stack = jnp.stack([norms[li] for li in g.layers], axis=1)
-        group_planes.append(stack.reshape(b * g.n_l, g.ph, g.pw))
+                if lvk >= level_band[0]:
+                    lv = cur.reshape(b, k, -1)
+                    for j in range(k):
+                        levels_per[j].append(lv[:, j])
+            for j, i in enumerate(idxs):
+                packed[i] = levels_per[j]
+        else:
+            for i in idxs:
+                packed[i] = []
+        if k == 1:
+            norm = (layer - mids[idxs[0]]) * scales[idxs[0]]
+            padded = jnp.pad(norm, ((0, 0), (0, g.ph - lh),
+                                    (0, g.pw - lw)))
+        else:
+            mids_v = jnp.asarray(
+                np.asarray([mids[i] for i in idxs], np.float32)
+            ).reshape(1, k, 1, 1)
+            scales_v = jnp.asarray(
+                np.asarray([scales[i] for i in idxs], np.float32)
+            ).reshape(1, k, 1, 1)
+            norm = (layer - mids_v) * scales_v
+            padded = jnp.pad(norm, ((0, 0), (0, 0), (0, g.ph - lh),
+                                    (0, g.pw - lw)))
+        group_planes_l[gi] = padded.reshape(b * k, g.ph, g.pw)
+    group_planes = group_planes_l
 
     flat = [lv for i in range(3) for lv in packed[i]]
     if flat:
